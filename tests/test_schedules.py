@@ -88,7 +88,7 @@ def test_vp_matches_torch():
     ref = torch.sqrt(torch.exp(beta_d * t ** 2 / 2 + beta_min * t) - 1)
     ref = torch.cat([ref, ref.new_zeros([1])]).numpy()
     ours = np.asarray(S.get_sigmas_vp(n))
-    np.testing.assert_allclose(ours, ref, rtol=1e-4)
+    np.testing.assert_allclose(ours, ref, rtol=5e-4)
 
 
 def test_dispatch():
