@@ -1,0 +1,104 @@
+"""Perceiver resampler (Flamingo-style) — compresses the 2-camera Voltron
+token grid into `num_latents` observation tokens.
+
+Functional Flax re-design of the reference
+(`mdt/models/networks/transformers/perceiver_resampler.py:11-163`).
+Production config (conf/model/mdtv_agent.yaml): dim=384, depth=6, heads=8,
+dim_head=64, num_latents=3, num_time_embeds=1.
+
+Parity details: q/k/v/out projections are biasless; keys/values attend over
+(features ++ latents); latents and time position embeddings are initialized
+from a unit normal (torch.randn, ref :100-101); the feed-forward is
+LN -> Linear(4d, no bias) -> GELU -> Linear(d, no bias) (transformers/utils.py:15-27).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from mdt_policy_tpu.ops.attention import sdpa
+
+__all__ = ["PerceiverAttentionLayer", "PerceiverResampler"]
+
+
+class PerceiverAttentionLayer(nn.Module):
+    dim: int
+    dim_head: int = 64
+    heads: int = 8
+
+    @nn.compact
+    def __call__(self, features, latents):
+        """Latents cross-attend to (features ++ latents) (ref :30-77)."""
+        assert features.ndim == 3 and latents.ndim == 3
+        B, n_queries, _ = latents.shape
+        inner = self.dim_head * self.heads
+        x = nn.LayerNorm(name="norm_media")(features)
+        lat = nn.LayerNorm(name="norm_latents")(latents)
+        q = nn.Dense(inner, use_bias=False, name="to_q")(lat)
+        kv_input = jnp.concatenate([x, lat], axis=-2)
+        k = nn.Dense(inner, use_bias=False, name="to_k")(kv_input)
+        v = nn.Dense(inner, use_bias=False, name="to_v")(kv_input)
+        q = q.reshape(B, n_queries, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        k = k.reshape(B, -1, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        v = v.reshape(B, -1, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        out = sdpa(q, k, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, n_queries, inner)
+        return nn.Dense(self.dim, use_bias=False, name="to_out")(out)
+
+
+class FeedForward(nn.Module):
+    """LN -> Linear(mult*d) -> act -> Linear(d), biasless
+    (ref transformers/utils.py:15-27)."""
+    dim: int
+    mult: int = 4
+    activation: str = "gelu"
+
+    @nn.compact
+    def __call__(self, x):
+        acts = {
+            "gelu": lambda v: jax.nn.gelu(v, approximate=False),
+            "relu": jax.nn.relu,
+            "sqrelu": lambda v: jnp.square(jax.nn.relu(v)),
+        }
+        x = nn.LayerNorm(name="norm")(x)
+        x = nn.Dense(int(self.dim * self.mult), use_bias=False, name="fc1")(x)
+        x = acts[self.activation](x)
+        return nn.Dense(self.dim, use_bias=False, name="fc2")(x)
+
+
+class PerceiverResampler(nn.Module):
+    dim: int
+    depth: int
+    dim_head: int = 64
+    heads: int = 8
+    num_latents: int = 64
+    num_time_embeds: int = 4
+    ff_mult: int = 4
+    activation: str = "gelu"
+
+    @nn.compact
+    def __call__(self, x_f, mask=None):
+        """x_f: (B, n_frames, n_features, dim) -> (B, num_latents, dim)
+        (ref :123-163)."""
+        assert x_f.ndim == 4
+        B, max_length, _, dim = x_f.shape
+        assert dim == self.dim
+        latents = self.param("latents", nn.initializers.normal(1.0),
+                             (self.num_latents, self.dim))
+        time_pos_emb = self.param("time_pos_emb", nn.initializers.normal(1.0),
+                                  (self.num_time_embeds, 1, self.dim))
+        tpe = jnp.broadcast_to(time_pos_emb[None, :max_length],
+                               (B, max_length, 1, self.dim))
+        if mask is not None:
+            tpe = tpe * mask[:, :, None, None].astype(tpe.dtype)
+        x_f = x_f + tpe
+        x_f = x_f.reshape(B, -1, self.dim)
+        x = jnp.broadcast_to(latents[None], (B, self.num_latents, self.dim))
+        for i in range(self.depth):
+            x = x + PerceiverAttentionLayer(self.dim, self.dim_head, self.heads,
+                                            name=f"attn_{i}")(x_f, x)
+            x = x + FeedForward(self.dim, self.ff_mult, self.activation,
+                                name=f"ffw_{i}")(x)
+        return nn.LayerNorm(name="norm")(x)

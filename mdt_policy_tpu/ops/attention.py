@@ -1,0 +1,48 @@
+"""Scaled-dot-product attention for the MDT regime: tiny sequences (<= ~23
+tokens), large batch. XLA fuses the whole qk^T -> softmax -> v chain on the
+MXU/VPU; at these sequence lengths a hand-rolled flash kernel buys nothing
+(the score matrix is a few KB), so the einsum path IS the fast path. Softmax
+statistics are accumulated in float32 regardless of input dtype.
+
+Replaces torch F.scaled_dot_product_attention usage in the reference
+(mdt/models/networks/transformers/transformer_blocks.py:140-142).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["sdpa", "causal_mask"]
+
+
+def causal_mask(q_len: int, k_len: int) -> jax.Array:
+    """Lower-triangular boolean mask (True = attend)."""
+    return jnp.tril(jnp.ones((q_len, k_len), dtype=bool))
+
+
+def sdpa(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    mask: Optional[jax.Array] = None,
+    causal: bool = False,
+) -> jax.Array:
+    """Attention over (B, H, T, D) tensors.
+
+    mask: optional boolean array broadcastable to (B, H, Tq, Tk); True = keep.
+    """
+    *_, q_len, head_dim = q.shape
+    k_len = k.shape[-2]
+    scale = head_dim ** -0.5
+    scores = jnp.einsum("...qd,...kd->...qk", q, k).astype(jnp.float32) * scale
+    if causal:
+        cmask = causal_mask(q_len, k_len)
+        mask = cmask if mask is None else jnp.logical_and(mask, cmask)
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum("...qk,...kd->...qd", probs, v)
