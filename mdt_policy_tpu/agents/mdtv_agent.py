@@ -1,0 +1,416 @@
+"""MDT-V agent: network bundle, losses, jitted train/val steps, and the
+action-chunked inference protocol.
+
+Functional re-design of the reference `MDTVAgent` LightningModule
+(`mdt/models/mdtv_agent.py:44-824`):
+
+* all sub-networks live in ONE flax module so the whole train step — frozen
+  encoders included — compiles into a single XLA program (the SURVEY §6
+  north-star);
+* `training_step`'s dict-of-modalities loop (ref :222-298) becomes a static
+  Python unroll over ('vis', 'lang') inside one jitted `train_step`;
+* the contrastive loss computes InfoNCE over the *global* batch; under a
+  sharded `jit` XLA inserts the all-gather over the data axis automatically —
+  the TPU equivalent of `self.all_gather(sync_grads=True)` (ref :458-465);
+* frozen towers (Voltron ViT, CLIP vision/text) get `stop_gradient` on their
+  outputs + an optax mask, mirroring the reference's `requires_grad=False` /
+  optimizer-group membership (ref voltron_encoder.py:85-87, :164-199);
+* EMA is part of TrainState and updates inside the jitted step (ref EMA
+  callback, mdt/callbacks/ema.py).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as nn
+import flax.struct
+import optax
+
+from mdt_policy_tpu.diffusion import (
+    get_noise_schedule,
+    make_sample_density,
+)
+from mdt_policy_tpu.diffusion.precond import append_dims, get_scalings, precond_denoise
+from mdt_policy_tpu.diffusion.samplers import sample_loop
+from mdt_policy_tpu.models.blocks import ClipStyleProjection
+from mdt_policy_tpu.models.clip import CLIPTextTower, CLIPVisionTower
+from mdt_policy_tpu.models.masked_decoder import MaskedTransformerImgDecoder
+from mdt_policy_tpu.models.mdtv_transformer import MDTVTransformer
+from mdt_policy_tpu.models.perceiver import PerceiverResampler
+from mdt_policy_tpu.models.voltron_vit import VoltronViT
+from mdt_policy_tpu.utils.ema import ema_decay, ema_update
+from mdt_policy_tpu.utils.schedulers import tri_stage_schedule
+
+from .config import MDTVConfig
+
+Batch = Dict[str, jax.Array]
+
+# param-tree prefixes that stay frozen (ref: only inner model, perceiver,
+# gen_img, img_encoder, clip_proj, logit_scale enter the optimizer —
+# mdtv_agent.py:164-199 — and the Voltron tower is itself frozen)
+FROZEN_PREFIXES = ("visual_goal", "language_goal", "img_encoder")
+
+
+class MDTVAgentNet(nn.Module):
+    """All MDT-V sub-networks under one module tree."""
+    cfg: MDTVConfig
+
+    def setup(self):
+        c = self.cfg
+        self.img_encoder = VoltronViT(
+            patch_size=c.vit_patch, embed_dim=c.perceiver_dim, depth=c.vit_depth,
+            n_heads=c.vit_heads, img_size=c.img_size, name="img_encoder")
+        self.perceiver = PerceiverResampler(
+            dim=c.perceiver_dim, depth=c.perceiver_depth, dim_head=c.perceiver_dim_head,
+            heads=c.perceiver_heads, num_latents=c.num_latents,
+            num_time_embeds=c.perceiver_num_time_embeds, name="perceiver")
+        self.visual_goal = CLIPVisionTower(
+            embed_dim=c.clip_embed_dim, image_resolution=c.img_size,
+            layers=c.clip_vision_layers, width=c.clip_vision_width,
+            patch_size=c.clip_vision_patch, name="visual_goal")
+        self.language_goal = CLIPTextTower(
+            embed_dim=c.clip_embed_dim, context_length=c.clip_context_length,
+            vocab_size=c.clip_vocab_size, width=c.clip_text_width,
+            heads=c.clip_text_heads, layers=c.clip_text_layers,
+            name="language_goal")
+        self.inner = MDTVTransformer(
+            obs_dim=c.obs_dim, goal_dim=c.goal_dim, action_dim=c.action_dim,
+            proprio_dim=c.proprio_dim, embed_dim=c.embed_dim,
+            n_enc_layers=c.n_enc_layers, n_dec_layers=c.n_dec_layers,
+            n_heads=c.n_heads, goal_seq_len=c.goal_seq_len, obs_seq_len=c.obs_seq_len,
+            n_obs_token=c.num_latents, action_seq_len=c.act_window_size,
+            embed_pdrob=c.embed_pdrob, attn_pdrop=c.attn_pdrop,
+            resid_pdrop=c.resid_pdrop, mlp_pdrop=c.mlp_pdrop, goal_drop=c.goal_drop,
+            use_ada_conditioning=c.use_ada_conditioning,
+            use_noise_encoder=c.use_noise_encoder,
+            use_modality_encoder=c.use_modality_encoder,
+            use_mlp_goal=c.use_mlp_goal, name="inner")
+        self.gen_img = MaskedTransformerImgDecoder(
+            resolution=c.gen_img_res, patch_size=c.gen_patch_size,
+            decoder_depth=c.gen_decoder_depth, decoder_embed_dim=c.gen_decoder_dim,
+            decoder_n_heads=c.gen_decoder_heads, context_dim=c.latent_dim,
+            mask_ratio=c.gen_mask_ratio, name="gen_img")
+        # clip_proj: style 'map', token_dim=latent_dim, index 1, 4 tokens
+        # (ref mdtv_agent.py:133-138)
+        self.clip_proj = ClipStyleProjection(
+            clip_style="map", token_dim=c.latent_dim, clip_token_index=1,
+            num_token=4, name="clip_proj")
+        # learnable temperature, init log(1/0.07) (ref :140)
+        self.logit_scale = self.param(
+            "logit_scale", lambda k: jnp.asarray(math.log(1 / 0.07), jnp.float32))
+
+    # ---- encoders ------------------------------------------------------------
+
+    def _to_vit_size(self, x):
+        """Resize to the ViT input size — the reference's in-encoder
+        `self.preprocess` (voltron_encoder.py:99); gripper frames arrive at
+        84px from the data pipeline."""
+        s = self.cfg.img_size
+        if x.shape[1] == s and x.shape[2] == s:
+            return x
+        return jax.image.resize(x, (x.shape[0], s, s, x.shape[3]),
+                                method="linear", antialias=True)
+
+    def compute_voltron_embeddings(self, rgb_static, rgb_gripper):
+        """2-camera frozen ViT tokens -> perceiver latents
+        (ref mdtv_agent.py:392-403). Inputs (B, T, H, W, 3), already
+        CLIP-normalized by the on-device preprocessing stage."""
+        B, T = rgb_static.shape[:2]
+        flat_s = self._to_vit_size(rgb_static.reshape((B * T,) + rgb_static.shape[2:]))
+        flat_g = self._to_vit_size(rgb_gripper.reshape((B * T,) + rgb_gripper.shape[2:]))
+        static_tokens = self.img_encoder(flat_s)
+        gripper_tokens = self.img_encoder(flat_g)
+        if self.cfg.freeze_img_encoder:
+            static_tokens = jax.lax.stop_gradient(static_tokens)
+            gripper_tokens = jax.lax.stop_gradient(gripper_tokens)
+        tokens = jnp.concatenate([static_tokens, gripper_tokens], axis=1)[:, None]
+        return {"state_images": self.perceiver(tokens)}
+
+    def encode_visual_goal(self, goal_image):
+        """Frozen CLIP ViT-B/16 image embed (ref vision_clip.py:33-47);
+        input already CLIP-normalized."""
+        return jax.lax.stop_gradient(self.visual_goal(self._to_vit_size(goal_image)))
+
+    def encode_language_goal(self, lang_tokens):
+        """Frozen CLIP text embed (ref clip_lang_encoder.py:24-28)."""
+        return jax.lax.stop_gradient(self.language_goal(lang_tokens))
+
+    # ---- score-model wrappers --------------------------------------------------
+
+    def encode_context(self, perceptual_emb, latent_goal, sigma, *, modality,
+                       train: bool = False):
+        return self.inner.encode(perceptual_emb, latent_goal, sigma,
+                                 modality=modality, train=train)
+
+    def decode_actions(self, context, actions, sigma, *, train: bool = False):
+        return self.inner.decode(context, actions, sigma, train=train)
+
+    # ---- losses (one modality scope) ------------------------------------------
+
+    def __call__(self, batch: Batch, *, modality: str, train: bool = True):
+        """Per-scope losses (ref training_step body, mdtv_agent.py:246-288).
+
+        batch keys: rgb_static/rgb_gripper (B, T+1, H, W, 3) — last frame is
+        the goal frame; gen_static/gen_gripper (B, h, w, 3); actions (B, W, A);
+        lang_tokens (B, 77) (used when modality == 'lang').
+        Returns dict(action_loss, img_gen_loss, cont_loss, total_loss).
+        """
+        c = self.cfg
+        rgb_static_goal = batch["rgb_static"][:, -1]
+        rgb_static = batch["rgb_static"][:, :-1]
+        rgb_gripper = batch["rgb_gripper"][:, :-1]
+        actions = batch["actions"]
+        B = actions.shape[0]
+
+        image_latent_goal = self.encode_visual_goal(rgb_static_goal)
+        if modality == "lang":
+            latent_goal = self.encode_language_goal(batch["lang_tokens"])
+        else:
+            latent_goal = image_latent_goal
+
+        perceptual_emb = self.compute_voltron_embeddings(rgb_static, rgb_gripper)
+
+        # --- diffusion loss (ref diffusion_loss :508-521 + GCDenoiser.loss) ---
+        density = make_sample_density(c.sigma_sample_density_type, c.sigma_data,
+                                      c.sigma_min, c.sigma_max)
+        sigmas = density(self.make_rng("sigma"), (B,))
+        noise = jax.random.normal(self.make_rng("noise"), actions.shape, actions.dtype)
+
+        c_skip, c_out, c_in = (append_dims(s, actions.ndim)
+                               for s in get_scalings(sigmas, c.sigma_data))
+        noised = actions + noise * append_dims(sigmas, actions.ndim)
+        context = self.encode_context(perceptual_emb, latent_goal, sigmas,
+                                      modality=modality, train=train)
+        model_out = self.decode_actions(context, noised * c_in, sigmas, train=train)
+        target = (actions - c_skip * noised) / c_out
+        action_loss = jnp.mean(jnp.square(model_out - target))
+
+        # --- masked generative foresight loss (ref :259-269, 411-438) ---
+        goal_imgs = jnp.stack([batch["gen_static"], batch["gen_gripper"]], axis=1)
+        recon, mask, _, _ = self.gen_img(context, goal_imgs)
+        img_gen_loss = self.gen_img.compute_loss(goal_imgs, recon, mask)
+
+        # --- contrastive latent alignment (lang scope only, ref :440-484) ---
+        if modality == "lang":
+            vis_context = self.encode_context(perceptual_emb, image_latent_goal,
+                                              sigmas, modality="lang", train=train)
+            lang_embed = self.clip_proj(context)
+            vis_embed = self.clip_proj(vis_context)
+            cont_loss = self.clip_auxiliary_loss(vis_embed, lang_embed)
+        else:
+            cont_loss = jnp.zeros((), actions.dtype)
+
+        total = action_loss + c.masked_beta * img_gen_loss + c.cont_alpha * cont_loss
+        return {
+            "action_loss": action_loss,
+            "img_gen_loss": img_gen_loss,
+            "cont_loss": cont_loss,
+            "total_loss": total,
+        }
+
+    def clip_auxiliary_loss(self, image_features, lang_features):
+        """Symmetric InfoNCE (ref clip_auxiliary_loss, mdtv_agent.py:774-799).
+        Under a data-sharded jit this computes over the GLOBAL batch — XLA
+        all-gathers across the mesh, the `use_distributed_clip` equivalent."""
+        img = image_features / jnp.linalg.norm(image_features, axis=-1, keepdims=True)
+        lang = lang_features / jnp.linalg.norm(lang_features, axis=-1, keepdims=True)
+        logit_scale = jnp.exp(self.logit_scale)
+        sim = logit_scale * img @ lang.T
+        labels = jnp.arange(sim.shape[0])
+        loss_i2t = optax.softmax_cross_entropy_with_integer_labels(sim, labels).mean()
+        loss_t2i = optax.softmax_cross_entropy_with_integer_labels(sim.T, labels).mean()
+        return (loss_i2t + loss_t2i) / 2
+
+
+# ---------------------------------------------------------------------------
+# Train state + steps
+# ---------------------------------------------------------------------------
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    ema_params: Any
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+
+
+def _trainable_mask(params):
+    def mask_tree(tree, frozen):
+        return jax.tree.map(lambda _: not frozen, tree)
+    return {k: mask_tree(v, k in FROZEN_PREFIXES) for k, v in params.items()}
+
+
+def make_optimizer(cfg: MDTVConfig) -> optax.GradientTransformation:
+    """AdamW(lr=1e-4, betas=(0.9,0.9), wd=0.05) with tri-stage cosine schedule
+    (ref configure_optimizers, mdtv_agent.py:164-199), masked so frozen towers
+    receive no updates."""
+    sched = tri_stage_schedule(
+        peak_lr=cfg.optimizer.learning_rate,
+        init_lr_scale=cfg.lr_scheduler.init_lr_scale,
+        final_lr_scale=cfg.lr_scheduler.final_lr_scale,
+        total_steps=cfg.lr_scheduler.total_steps,
+        phase_ratio=cfg.lr_scheduler.phase_ratio,
+    )
+    adamw = optax.adamw(
+        learning_rate=sched,
+        b1=cfg.optimizer.betas[0], b2=cfg.optimizer.betas[1],
+        weight_decay=cfg.optimizer.transformer_weight_decay,
+    )
+    return optax.masked(adamw, _trainable_mask)
+
+
+def init_agent(cfg: MDTVConfig, rng: jax.Array, example_batch: Batch) -> Tuple[MDTVAgentNet, TrainState]:
+    net = MDTVAgentNet(cfg)
+    init_rngs = dict(zip(
+        ("params", "dropout", "sigma", "noise", "mask", "goal_mask"),
+        jax.random.split(rng, 6)))
+    # jitted init: eager op-by-op dispatch of a full init is ~100x slower
+    init_fn = jax.jit(partial(net.init, modality="lang", train=True))
+    variables = init_fn(init_rngs, example_batch)
+    params = variables["params"]
+    tx = make_optimizer(cfg)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        ema_params=jax.tree.map(jnp.copy, params),
+        tx=tx,
+    )
+    return net, state
+
+
+def train_step(net: MDTVAgentNet, state: TrainState, batch: Dict[str, Batch],
+               rng: jax.Array) -> Tuple[TrainState, Dict[str, jax.Array]]:
+    """One optimizer step over the dual-modality batch
+    (ref training_step, mdtv_agent.py:222-298). jit with
+    `jax.jit(partial(train_step, net), donate_argnums=(0,))`."""
+    scopes = tuple(sorted(batch.keys()))
+
+    def loss_fn(params):
+        metrics = {}
+        total = 0.0
+        for i, scope in enumerate(scopes):
+            rngs = dict(zip(("dropout", "sigma", "noise", "mask", "goal_mask"),
+                            jax.random.split(jax.random.fold_in(rng, i), 5)))
+            out = net.apply({"params": params}, batch[scope], modality=scope,
+                            train=True, rngs=rngs)
+            total = total + out["total_loss"]
+            for k, v in out.items():
+                metrics[f"{scope}/{k}"] = v
+        total = total / len(scopes)
+        metrics["train/total_loss"] = total
+        return total, metrics
+
+    grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+    updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    # reference EMA sees the POST-increment global step (ema.py:131-142)
+    decay = ema_decay(state.step + 1)
+    new_ema = ema_update(state.ema_params, new_params, decay)
+    metrics["train/ema_rate"] = decay
+    return state.replace(step=state.step + 1, params=new_params,
+                         opt_state=new_opt_state, ema_params=new_ema), metrics
+
+
+# ---------------------------------------------------------------------------
+# Inference: denoise_actions with hoisted encoder context
+# ---------------------------------------------------------------------------
+
+def denoise_actions(
+    net: MDTVAgentNet,
+    params,
+    perceptual_emb: Dict[str, jax.Array],
+    latent_goal: jax.Array,
+    rng: jax.Array,
+    *,
+    modality: str = "lang",
+    sampler_type: Optional[str] = None,
+    num_sampling_steps: Optional[int] = None,
+    sigma_min: Optional[float] = None,
+    sigma_max: Optional[float] = None,
+    noise_scheduler: Optional[str] = None,
+) -> jax.Array:
+    """Sample an action chunk (ref denoise_actions, mdtv_agent.py:523-550).
+
+    The encoder runs ONCE; the sampler scan closes over the context — unlike
+    the reference, which re-encodes every step (SURVEY §3.2).
+    """
+    cfg = net.cfg
+    sampler_type = sampler_type or cfg.sampler_type
+    n_steps = num_sampling_steps or cfg.num_sampling_steps
+    smin = sigma_min if sigma_min is not None else cfg.sigma_min
+    smax = sigma_max if sigma_max is not None else cfg.sigma_max
+    scheduler = noise_scheduler or cfg.noise_scheduler
+
+    sigmas = np.asarray(get_noise_schedule(n_steps, scheduler, smin, smax))
+    if latent_goal.ndim == 2:
+        latent_goal = latent_goal[:, None, :]
+    B = latent_goal.shape[0]
+
+    # context hoisted out of the sampling loop
+    context = net.apply({"params": params}, perceptual_emb, latent_goal,
+                        jnp.full((B,), float(sigmas[0])), modality=modality,
+                        train=False, method="encode_context")
+
+    def denoise_fn(x, sigma):
+        sigma_b = jnp.broadcast_to(jnp.asarray(sigma, x.dtype), (B,))
+        inner = lambda xin, s: net.apply({"params": params}, context, xin, s,
+                                         train=False, method="decode_actions")
+        return precond_denoise(inner, x, sigma_b, cfg.sigma_data)
+
+    k_init, k_samp = jax.random.split(rng)
+    x = jax.random.normal(k_init, (B, cfg.act_window_size, cfg.action_dim)) * smax
+    return sample_loop(sampler_type, denoise_fn, x, sigmas, key=k_samp)
+
+
+class MDTVPolicy:
+    """Stateful rollout wrapper implementing the reference inference protocol
+    `reset() / step(obs, goal)` with action chunking (ref mdtv_agent.py:680-746).
+
+    The full pipeline (goal encode -> voltron -> perceiver -> encoder ->
+    10-step sampler scan) is one jitted function, compiled once; re-planning
+    happens every `multistep` env steps, cached chunk replayed otherwise.
+    """
+
+    def __init__(self, net: MDTVAgentNet, params, rng: Optional[jax.Array] = None,
+                 **sampler_overrides):
+        self.net = net
+        self.params = params
+        self.cfg = net.cfg
+        self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self.rollout_step_counter = 0
+        self.pred_action_seq = None
+        self._predict = jax.jit(partial(self._predict_impl, **sampler_overrides))
+
+    def _predict_impl(self, params, rgb_static, rgb_gripper, lang_tokens, rng,
+                      **overrides):
+        emb = self.net.apply({"params": params}, rgb_static, rgb_gripper,
+                             method="compute_voltron_embeddings")
+        latent_goal = self.net.apply({"params": params}, lang_tokens,
+                                     method="encode_language_goal")
+        return denoise_actions(self.net, params, emb, latent_goal, rng,
+                               modality="lang", **overrides)
+
+    def reset(self):
+        self.rollout_step_counter = 0
+        self.pred_action_seq = None
+
+    def step(self, obs: Dict[str, jax.Array], goal: Dict[str, jax.Array]):
+        """obs: {'rgb_static': (B,T,H,W,3), 'rgb_gripper': ...};
+        goal: {'lang_tokens': (B,77)}. Returns the current 7-DoF action."""
+        if self.rollout_step_counter % self.cfg.multistep == 0:
+            self.rng, k = jax.random.split(self.rng)
+            self.pred_action_seq = self._predict(
+                self.params, obs["rgb_static"], obs["rgb_gripper"],
+                goal["lang_tokens"], k)
+        action = self.pred_action_seq[:, self.rollout_step_counter % self.cfg.multistep]
+        self.rollout_step_counter += 1
+        if self.rollout_step_counter == self.cfg.multistep:
+            self.rollout_step_counter = 0
+        return action

@@ -1,0 +1,218 @@
+"""CALVIN episode dataset: host-side indexing + chunk assembly.
+
+Re-implements the production data path of the reference —
+`ExtendedDiskDataset` (`mdt/datasets/disk_dataset.py:162-336`) over CALVIN
+per-frame `episode_{idx:07d}.npz` files — as a plain-numpy dataset that feeds
+the on-device preprocessing stage (transforms.py). Design split vs. the
+reference: the host does ONLY file IO + index math; all pixel work (resize,
+shift-aug, normalize) runs jitted on the TPU.
+
+Per-sample layout (obs_seq_len=1, action_seq_len=10 production config):
+  start  = episode_lookup[idx]
+  obs    = frames [start, start+obs_seq_len)
+  gen    = frame  start + obs_seq_len + img_gen_frame_diff - 1   (ref :228)
+  acts   = rel_actions rows [start+obs_seq_len-1, +action_seq_len) (ref :250)
+  goal   = frame  start + action_seq_len + obs_seq_len - 1 + window_size,
+           clipped to the episode end (ref :274-281)
+  rgb_*  = concat(obs frames, goal frame)  -> (obs_seq_len+1, H, W, 3)
+
+Fast path: `extracted/ep_rel_actions.npy` + `ep_npz_names.list` (built by
+data/extract.py, mirroring preprocess/extract_by_key.py) replaces the
+10-npz-per-sample action reads (ref :184-197, README's ~2GB/iteration issue).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+from .windows import sample_window_size
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["CalvinDataset", "build_vision_indices", "build_lang_indices",
+           "lookup_naming_pattern"]
+
+
+def lookup_naming_pattern(dataset_dir: Path, save_format: str = "npz"):
+    """Infer the frame-file naming pattern (ref episode_utils.py:218-236)."""
+    it = (p for p in Path(dataset_dir).glob(f"**/*.{save_format}")
+          if "extracted" not in str(p))
+    filename = next(it)
+    aux_naming_pattern = str(filename.stem).rsplit("_", 1)
+    naming_pattern = (filename.parent / f"{aux_naming_pattern[0]}_", f".{save_format}")
+    n_digits = len(str(filename.stem).rsplit("_", 1)[-1])
+    return naming_pattern, n_digits
+
+
+def build_vision_indices(dataset_dir: Path, min_window_size: int) -> np.ndarray:
+    """Every frame that can start a window (ref disk_dataset.py:315-336)."""
+    ep_start_end_ids = np.load(Path(dataset_dir) / "ep_start_end_ids.npy")
+    episode_lookup = []
+    for start_idx, end_idx in ep_start_end_ids:
+        for idx in range(start_idx, end_idx + 1 - min_window_size):
+            episode_lookup.append(idx)
+    return np.asarray(episode_lookup, dtype=np.int64)
+
+
+def build_lang_indices(dataset_dir: Path, lang_folder: str, min_window_size: int,
+                       skip_frames: int = 1):
+    """Language-annotated windows from auto_lang_ann.npy
+    (ref disk_dataset.py:98-136). Returns (episode_lookup, lang_lookup,
+    lang_emb, lang_text)."""
+    dataset_dir = Path(dataset_dir)
+    for cand in (dataset_dir / lang_folder / "auto_lang_ann.npy",
+                 dataset_dir / "auto_lang_ann.npy"):
+        if cand.exists():
+            lang_data = np.load(cand, allow_pickle=True).item()
+            break
+    else:
+        raise FileNotFoundError(f"auto_lang_ann.npy not found under {dataset_dir}")
+    ep_start_end_ids = lang_data["info"]["indx"]
+    lang_emb = lang_data["language"]["emb"]
+    lang_text = lang_data["language"]["ann"]
+    episode_lookup, lang_lookup = [], []
+    for i, (start_idx, end_idx) in enumerate(ep_start_end_ids):
+        cnt = 0
+        for idx in range(start_idx, end_idx + 1 - min_window_size):
+            if cnt % skip_frames == 0:
+                lang_lookup.append(i)
+                episode_lookup.append(idx)
+            cnt += 1
+    return (np.asarray(episode_lookup, dtype=np.int64), np.asarray(lang_lookup),
+            lang_emb, lang_text)
+
+
+class CalvinDataset:
+    """Index-based sample assembly over a CALVIN episode directory."""
+
+    RGB_KEYS = ("rgb_static", "rgb_gripper")
+
+    def __init__(
+        self,
+        dataset_dir: os.PathLike,
+        key: str = "vis",  # 'vis' or 'lang'
+        lang_folder: str = "lang_clip_resnet50",
+        obs_seq_len: int = 1,
+        action_seq_len: int = 10,
+        min_window_size: int = 21,
+        max_window_size: int = 50,
+        img_gen_frame_diff: int = 3,
+        window_sampling_strategy: str = "geometric",
+        geometric_p: float = 0.1,
+        use_extracted_rel_actions: bool = True,
+        skip_frames: int = 1,
+        seed: int = 0,
+    ):
+        self.dataset_dir = Path(dataset_dir)
+        self.with_lang = key == "lang"
+        self.validation = "validation" in self.dataset_dir.as_posix()
+        self.obs_seq_len = obs_seq_len
+        self.action_seq_len = action_seq_len
+        self.min_window_size = min_window_size
+        self.max_window_size = max_window_size
+        self.img_gen_frame_diff = img_gen_frame_diff
+        self.random_frame_diff = img_gen_frame_diff <= -1  # (ref :180)
+        self.window_sampling_strategy = window_sampling_strategy
+        self.geometric_p = geometric_p
+        self.rng = np.random.default_rng(seed)
+
+        if self.with_lang:
+            (self.episode_lookup, self.lang_lookup, self.lang_emb,
+             self.lang_text) = build_lang_indices(
+                self.dataset_dir, lang_folder, min_window_size, skip_frames)
+        else:
+            self.episode_lookup = build_vision_indices(self.dataset_dir, min_window_size)
+        self.ep_start_end_ids = np.load(self.dataset_dir / "ep_start_end_ids.npy")
+        self.naming_pattern, self.n_digits = lookup_naming_pattern(self.dataset_dir)
+
+        self.use_extracted = use_extracted_rel_actions
+        if use_extracted_rel_actions:
+            ex_dir = self.dataset_dir / "extracted"
+            if not ex_dir.exists():
+                raise FileNotFoundError(
+                    f"{ex_dir} missing — run mdt_policy_tpu.data.extract first "
+                    "or pass use_extracted_rel_actions=False")
+            with open(ex_dir / "ep_npz_names.list") as f:
+                names = [int(x.strip()) for x in f]
+            self.ex_name_to_idx = {n: i for i, n in enumerate(names)}
+            # mmap: zero-copy row reads (ref loads fully; mmap is strictly better)
+            self.ex_rel_actions = np.load(ex_dir / "ep_rel_actions.npy", mmap_mode="r")
+
+    def __len__(self) -> int:
+        return len(self.episode_lookup)
+
+    # ---- file access ---------------------------------------------------------
+
+    def _frame_path(self, file_idx: int) -> Path:
+        return Path(f"{self.naming_pattern[0]}{file_idx:0{self.n_digits}d}"
+                    f"{self.naming_pattern[1]}")
+
+    def _load_frame(self, file_idx: int) -> Dict[str, np.ndarray]:
+        return np.load(self._frame_path(file_idx))
+
+    def _episode_bounds(self, idx: int):
+        """(ref find_sequence_boundaries, disk_dataset.py:199-203)"""
+        for start_idx, end_idx in self.ep_start_end_ids:
+            if start_idx <= idx < end_idx:
+                return int(start_idx), int(end_idx)
+        raise ValueError(f"Index {idx} does not belong to any sequence.")
+
+    # ---- sample assembly -------------------------------------------------------
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        window_size = sample_window_size(
+            self.episode_lookup, idx, self.min_window_size, self.max_window_size,
+            validation=self.validation, strategy=self.window_sampling_strategy,
+            geometric_p=self.geometric_p, rng=self.rng)
+        start_idx = int(self.episode_lookup[idx])
+        end_idx = start_idx + self.action_seq_len + self.obs_seq_len - 1
+
+        if self.random_frame_diff:
+            frame_diff = int(self.rng.integers(0, self.action_seq_len))
+        else:
+            frame_diff = self.img_gen_frame_diff
+        gen_img_idx = start_idx + self.obs_seq_len + frame_diff - 1
+
+        obs_frames = [self._load_frame(i)
+                      for i in range(start_idx, start_idx + self.obs_seq_len)]
+        gen_frame = self._load_frame(gen_img_idx)
+
+        if self.use_extracted:
+            rows = [self.ex_name_to_idx[i] for i in range(start_idx, end_idx)]
+            actions_full = np.asarray(self.ex_rel_actions[rows, :], np.float32)
+        else:
+            acts = [np.asarray(self._load_frame(i)["rel_actions"], np.float32)
+                    for i in range(start_idx, end_idx)]
+            actions_full = np.stack(acts)
+        actions = actions_full[self.obs_seq_len - 1:
+                               self.obs_seq_len - 1 + self.action_seq_len]
+
+        # future-goal frame, clipped to the episode end (ref :274-281)
+        goal_idx = end_idx + window_size
+        _, eps_end = self._episode_bounds(end_idx)
+        goal_idx = min(goal_idx, eps_end)
+        goal_frame = self._load_frame(goal_idx)
+
+        sample: Dict[str, np.ndarray] = {
+            "actions": actions,
+            "robot_obs": np.stack(
+                [np.asarray(f["robot_obs"], np.float32) for f in obs_frames]
+                + [np.asarray(goal_frame["robot_obs"], np.float32)]),
+            "idx": np.asarray(idx, np.int64),
+            "future_frame_diff": np.asarray(frame_diff, np.int32),
+            "gen_static": np.asarray(gen_frame["rgb_static"]),
+            "gen_gripper": np.asarray(gen_frame["rgb_gripper"]),
+        }
+        for k in self.RGB_KEYS:
+            frames = [np.asarray(f[k]) for f in obs_frames] + [np.asarray(goal_frame[k])]
+            sample[k] = np.stack(frames)
+        if self.with_lang:
+            li = int(self.lang_lookup[idx])
+            sample["lang_emb"] = np.asarray(self.lang_emb[li][0], np.float32)
+            sample["lang_text"] = self.lang_text[li]
+        return sample

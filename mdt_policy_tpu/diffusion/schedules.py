@@ -2,7 +2,7 @@
 
 Re-implements the seven schedule families of the reference
 (`mdt/models/edm_diffusion/gc_sampling.py:26-88`) as pure functions returning
-`jnp.float32` arrays. All schedules are static in (n, sigma_min, sigma_max), so
+host `np.float32` arrays. All schedules are static in (n, sigma_min, sigma_max), so
 they are computed with numpy at trace time — they never need to live inside a
 jitted program as traced values, which keeps XLA programs free of tiny dynamic
 tensor work.
@@ -16,7 +16,6 @@ from __future__ import annotations
 import math
 
 import numpy as np
-import jax.numpy as jnp
 
 __all__ = [
     "append_zero",
@@ -31,13 +30,17 @@ __all__ = [
 ]
 
 
-def append_zero(sigmas: np.ndarray) -> jnp.ndarray:
-    """Appends a terminal sigma=0 entry (reference: gc_sampling.py:22-23)."""
+def append_zero(sigmas: np.ndarray) -> np.ndarray:
+    """Appends a terminal sigma=0 entry (reference: gc_sampling.py:22-23).
+
+    Returns HOST numpy: schedules are static by design, so they stay ordinary
+    numpy arrays and can be built inside a jit trace (samplers embed them as
+    scan constants) without becoming tracers."""
     sigmas = np.asarray(sigmas, dtype=np.float32)
-    return jnp.asarray(np.concatenate([sigmas, np.zeros((1,), dtype=np.float32)]))
+    return np.concatenate([sigmas, np.zeros((1,), dtype=np.float32)])
 
 
-def get_sigmas_karras(n: int, sigma_min: float, sigma_max: float, rho: float = 7.0) -> jnp.ndarray:
+def get_sigmas_karras(n: int, sigma_min: float, sigma_max: float, rho: float = 7.0) -> np.ndarray:
     """Karras et al. (2022) rho-schedule (reference: gc_sampling.py:26-32)."""
     ramp = np.linspace(0, 1, n, dtype=np.float64)
     min_inv_rho = sigma_min ** (1 / rho)
@@ -46,19 +49,19 @@ def get_sigmas_karras(n: int, sigma_min: float, sigma_max: float, rho: float = 7
     return append_zero(sigmas)
 
 
-def get_sigmas_exponential(n: int, sigma_min: float, sigma_max: float) -> jnp.ndarray:
+def get_sigmas_exponential(n: int, sigma_min: float, sigma_max: float) -> np.ndarray:
     """Exponential schedule — the production default for MDT
     (reference: gc_sampling.py:35-38; conf/model/mdt_agent.yaml noise_scheduler)."""
     sigmas = np.exp(np.linspace(math.log(sigma_max), math.log(sigma_min), n, dtype=np.float64))
     return append_zero(sigmas)
 
 
-def get_sigmas_linear(n: int, sigma_min: float, sigma_max: float) -> jnp.ndarray:
+def get_sigmas_linear(n: int, sigma_min: float, sigma_max: float) -> np.ndarray:
     """Linear ramp from sigma_max to sigma_min (reference: gc_sampling.py:41-44)."""
     return append_zero(np.linspace(sigma_max, sigma_min, n, dtype=np.float64))
 
 
-def cosine_beta_schedule(n: int, s: float = 0.008) -> jnp.ndarray:
+def cosine_beta_schedule(n: int, s: float = 0.008) -> np.ndarray:
     """Cosine beta schedule of Nichol & Dhariwal, flipped + zero-terminated
     (reference: gc_sampling.py:47-58)."""
     steps = n + 1
@@ -70,7 +73,7 @@ def cosine_beta_schedule(n: int, s: float = 0.008) -> jnp.ndarray:
     return append_zero(np.flip(betas_clipped))
 
 
-def get_sigmas_ve(n: int, sigma_min: float = 0.02, sigma_max: float = 100.0) -> jnp.ndarray:
+def get_sigmas_ve(n: int, sigma_min: float = 0.02, sigma_max: float = 100.0) -> np.ndarray:
     """Variance-exploding schedule (reference: gc_sampling.py:61-68).
 
     Mirrors the reference exactly, including its use of linspace(0, n+1, n)
@@ -90,7 +93,7 @@ def get_iddpm_sigmas(
     j_0: int = 0,
     C_1: float = 0.001,
     C_2: float = 0.008,
-) -> jnp.ndarray:
+) -> np.ndarray:
     """iDDPM sigma grid resampled to n steps (reference: gc_sampling.py:71-81)."""
     step_indices = np.arange(n, dtype=np.float64)
     u = np.zeros(M + 1, dtype=np.float64)
@@ -102,7 +105,7 @@ def get_iddpm_sigmas(
     return append_zero(sigmas)
 
 
-def get_sigmas_vp(n: int, beta_d: float = 19.9, beta_min: float = 0.1, eps_s: float = 1e-3) -> jnp.ndarray:
+def get_sigmas_vp(n: int, beta_d: float = 19.9, beta_min: float = 0.1, eps_s: float = 1e-3) -> np.ndarray:
     """Variance-preserving schedule (reference: gc_sampling.py:84-88)."""
     t = np.linspace(1, eps_s, n, dtype=np.float64)
     sigmas = np.sqrt(np.exp(beta_d * t ** 2 / 2 + beta_min * t) - 1)
@@ -121,7 +124,7 @@ _SCHEDULES = {
 
 
 def get_noise_schedule(n_sampling_steps: int, noise_schedule_type: str,
-                       sigma_min: float, sigma_max: float) -> jnp.ndarray:
+                       sigma_min: float, sigma_max: float) -> np.ndarray:
     """Schedule dispatch mirroring `MDTVAgent.get_noise_schedule`
     (reference: mdt/models/mdtv_agent.py:660-678)."""
     try:

@@ -1,0 +1,150 @@
+"""CLIP text + vision towers (goal encoders), TPU-native.
+
+The reference vendors the full OpenAI CLIP model and uses it frozen:
+* visual goal  = `DefaultVisionClip` — CLIP ViT-B/16 `encode_image` -> 512-d
+  (`mdt/models/perceptual_encoders/vision_clip.py:33-47`, conf/config.yaml
+  `vis_clip_model_name: ViT-B/16`)
+* language goal = `LangClip` — CLIP ViT-B/32 text tower `encode_text`
+  (`mdt/models/networks/clip_lang_encoder.py:9-28`).
+
+This module implements both towers in Flax with the standard CLIP
+architecture (pre-LN transformer, QuickGELU, packed-qkv attention) so
+published weights port 1:1. No weights are downloaded: use
+`mdt_policy_tpu.utils.torch_port.port_clip_weights` with a local OpenAI
+checkpoint, or random init for smoke tests.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from mdt_policy_tpu.ops.attention import sdpa
+
+__all__ = ["CLIPVisionTower", "CLIPTextTower", "CLIP_CONFIGS", "quick_gelu"]
+
+
+# Tower hyperparameters of the OpenAI releases the reference uses
+# (mdt/models/networks/clip.py:467-517 derives these from checkpoint shapes).
+CLIP_CONFIGS = {
+    "ViT-B/16": dict(embed_dim=512, image_resolution=224, vision_layers=12,
+                     vision_width=768, vision_patch_size=16, context_length=77,
+                     vocab_size=49408, transformer_width=512, transformer_heads=8,
+                     transformer_layers=12),
+    "ViT-B/32": dict(embed_dim=512, image_resolution=224, vision_layers=12,
+                     vision_width=768, vision_patch_size=32, context_length=77,
+                     vocab_size=49408, transformer_width=512, transformer_heads=8,
+                     transformer_layers=12),
+}
+
+
+def quick_gelu(x):
+    """CLIP's QuickGELU: x * sigmoid(1.702 x)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class ResidualAttentionBlock(nn.Module):
+    width: int
+    heads: int
+    causal: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        B, T, C = x.shape
+        h = nn.LayerNorm(name="ln_1")(x)
+        qkv = nn.Dense(3 * C, name="in_proj")(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        hd = C // self.heads
+        q = q.reshape(B, T, self.heads, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(B, T, self.heads, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(B, T, self.heads, hd).transpose(0, 2, 1, 3)
+        attn = sdpa(q, k, v, causal=self.causal)
+        attn = attn.transpose(0, 2, 1, 3).reshape(B, T, C)
+        x = x + nn.Dense(C, name="out_proj")(attn)
+        h = nn.LayerNorm(name="ln_2")(x)
+        h = nn.Dense(4 * C, name="c_fc")(h)
+        h = quick_gelu(h)
+        x = x + nn.Dense(C, name="c_proj")(h)
+        return x
+
+
+class CLIPVisionTower(nn.Module):
+    """CLIP ViT image encoder -> (B, embed_dim) (ref clip.py:266-307)."""
+    embed_dim: int = 512
+    image_resolution: int = 224
+    layers: int = 12
+    width: int = 768
+    patch_size: int = 16
+    heads: int = 0  # 0 -> width // 64 (the OpenAI convention)
+
+    @nn.compact
+    def __call__(self, images: jax.Array) -> jax.Array:
+        # images: (B, H, W, C), CLIP-normalized
+        B = images.shape[0]
+        x = nn.Conv(self.width, (self.patch_size, self.patch_size),
+                    strides=(self.patch_size, self.patch_size),
+                    padding="VALID", use_bias=False, name="conv1")(images)
+        x = x.reshape(B, -1, self.width)
+        scale = self.width ** -0.5
+        cls = self.param("class_embedding", nn.initializers.normal(scale), (self.width,))
+        x = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, self.width)), x], axis=1)
+        n_pos = (self.image_resolution // self.patch_size) ** 2 + 1
+        pos = self.param("positional_embedding", nn.initializers.normal(scale),
+                         (n_pos, self.width))
+        x = x + pos[None]
+        x = nn.LayerNorm(name="ln_pre")(x)
+        heads = self.heads or max(self.width // 64, 1)
+        for i in range(self.layers):
+            x = ResidualAttentionBlock(self.width, heads,
+                                       name=f"resblock_{i}")(x)
+        x = nn.LayerNorm(name="ln_post")(x[:, 0, :])
+        proj = self.param("proj", nn.initializers.normal(scale),
+                          (self.width, self.embed_dim))
+        return x @ proj
+
+
+class CLIPTextTower(nn.Module):
+    """CLIP text encoder -> (B, embed_dim), pooled at the EOT (argmax) token
+    (ref clip.py:310-466 encode_text path)."""
+    embed_dim: int = 512
+    context_length: int = 77
+    vocab_size: int = 49408
+    width: int = 512
+    heads: int = 8
+    layers: int = 12
+
+    @nn.compact
+    def __call__(self, tokens: jax.Array) -> jax.Array:
+        # tokens: (B, context_length) int32
+        tok_emb = nn.Embed(self.vocab_size, self.width,
+                           embedding_init=nn.initializers.normal(0.02),
+                           name="token_embedding")
+        x = tok_emb(tokens)
+        pos = self.param("positional_embedding", nn.initializers.normal(0.01),
+                         (self.context_length, self.width))
+        x = x + pos[None]
+        for i in range(self.layers):
+            x = ResidualAttentionBlock(self.width, self.heads, causal=True,
+                                       name=f"resblock_{i}")(x)
+        x = nn.LayerNorm(name="ln_final")(x)
+        # pool at EOT token = highest token id per sequence
+        eot = jnp.argmax(tokens, axis=-1)
+        pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1).squeeze(1)
+        proj = self.param("text_projection", nn.initializers.normal(self.width ** -0.5),
+                          (self.width, self.embed_dim))
+        return pooled @ proj
+
+
+# CLIP preprocessing constants (ref clip.py preprocessing / masked decoder :321-322)
+CLIP_IMAGE_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_IMAGE_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def clip_normalize(images: jax.Array) -> jax.Array:
+    """Normalize [0,1] NHWC images with CLIP statistics."""
+    mean = jnp.asarray(CLIP_IMAGE_MEAN, images.dtype)
+    std = jnp.asarray(CLIP_IMAGE_STD, images.dtype)
+    return (images - mean) / std

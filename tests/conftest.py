@@ -1,15 +1,21 @@
-"""Test harness: force an 8-device virtual CPU platform BEFORE jax import so
-multi-chip sharding paths are exercised without TPU hardware (SURVEY §4)."""
+"""Test harness: force an 8-device virtual CPU platform so multi-chip
+sharding paths are exercised without TPU hardware (SURVEY §4).
+
+The container's sitecustomize pre-imports jax and registers the remote-TPU
+('axon') PJRT plugin with JAX_PLATFORMS=axon, so env vars alone don't stick —
+the platform must be overridden through jax.config before first backend use.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# must land before the first backend initialization
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
-import jax  # noqa: E402  (import after env setup)
+import jax  # noqa: E402  (pre-imported by sitecustomize; config still mutable)
 
+jax.config.update("jax_platforms", "cpu")
 # Numerical-parity tests compare against float32 torch references; the
 # production default (fast bf16-ish matmul on MXU) stays untouched outside tests.
 jax.config.update("jax_default_matmul_precision", "highest")
