@@ -111,7 +111,8 @@ class TestPrecond:
         target = (ta - c_skip * noised) / c_out
         ref_loss = (out - target).pow(2).flatten(1).mean()
         assert float(loss) == pytest.approx(float(ref_loss), rel=1e-4)
-        np.testing.assert_allclose(np.asarray(model_out), out.numpy(), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(model_out), out.numpy(), rtol=1e-4,
+                                   atol=1e-6)
 
     def test_denoise_at_sigma_data_weights_half(self):
         # c_skip(sigma_data) = 1/2; denoiser = c_out*F + c_skip*x
