@@ -1,4 +1,6 @@
 from .config import LRSchedulerConfig, MDTVConfig, OptimizerConfig
+from .mdt_agent import MDTAgentNet, MDTConfig
+from .mdt_agent import init_agent as init_mdt_agent
 from .mdtv_agent import (
     MDTVAgentNet,
     MDTVPolicy,
