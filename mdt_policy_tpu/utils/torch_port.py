@@ -1,0 +1,153 @@
+"""PyTorch -> JAX checkpoint porting.
+
+Maps reference-format state_dicts (the published `mdtv-*` checkpoints, EMA
+weights path `mdt/models/mdtv_agent.py:145-162`) onto this framework's flax
+param trees. Conventions:
+
+* torch nn.Linear weight (out, in)  -> flax Dense kernel (in, out): transpose
+* torch LayerNorm weight/bias       -> flax scale/bias
+* torch Conv2d weight (O, I, H, W)  -> flax Conv kernel (H, W, I, O)
+* biasless LayerNorms live under a nested `LayerNorm_0` scope (models/blocks
+  BiaslessLayerNorm wraps nn.LayerNorm)
+
+`port_mdtv_transformer` covers the denoiser — the component the BASELINE
+denoised-chunk-parity check runs through. Tensors may be torch.Tensor or
+numpy arrays (state_dicts loaded with torch.load(..., map_location='cpu')).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import numpy as np
+
+__all__ = ["port_mdtv_transformer", "port_mdt_transformer"]
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t, dtype=np.float32)
+
+
+def _dense(sd: Mapping, prefix: str) -> Dict:
+    out = {"kernel": _np(sd[f"{prefix}.weight"]).T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _ln(sd: Mapping, prefix: str) -> Dict:
+    out = {"scale": _np(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _biasless_ln(sd: Mapping, prefix: str) -> Dict:
+    # BiaslessLayerNorm nests a LayerNorm_0 scope
+    return {"LayerNorm_0": _ln(sd, prefix)}
+
+
+def _goal_embed(sd: Mapping, prefix: str, use_mlp: bool) -> Dict:
+    """GoalEmbed: torch Sequential(Linear, GELU, Linear) -> fc1/fc2
+    (ref mdtv_transformer.py:83-101)."""
+    if use_mlp:
+        return {"fc1": _dense(sd, f"{prefix}.0"), "fc2": _dense(sd, f"{prefix}.2")}
+    return {"linear": _dense(sd, prefix)}
+
+
+def _sigma_embed(sd: Mapping, prefix: str) -> Dict:
+    """SigmaEmbedding: Sequential(SinusoidalPosEmb, Linear, Mish, Linear)
+    (ref mdtv_transformer.py:169-174)."""
+    return {"fc1": _dense(sd, f"{prefix}.1"), "fc2": _dense(sd, f"{prefix}.3")}
+
+
+def _attention(sd: Mapping, prefix: str) -> Dict:
+    return {
+        "query": _dense(sd, f"{prefix}.query"),
+        "key": _dense(sd, f"{prefix}.key"),
+        "value": _dense(sd, f"{prefix}.value"),
+        "c_proj": _dense(sd, f"{prefix}.c_proj"),
+    }
+
+
+def _mlp(sd: Mapping, prefix: str) -> Dict:
+    return {"c_fc": _dense(sd, f"{prefix}.c_fc"),
+            "c_proj": _dense(sd, f"{prefix}.c_proj")}
+
+
+def _block(sd: Mapping, prefix: str, cross: bool) -> Dict:
+    out = {
+        "ln_1": _biasless_ln(sd, f"{prefix}.ln_1"),
+        "attn": _attention(sd, f"{prefix}.attn"),
+        "ln_2": _biasless_ln(sd, f"{prefix}.ln_2"),
+        "mlp": _mlp(sd, f"{prefix}.mlp"),
+    }
+    if cross:
+        out["ln3"] = _ln(sd, f"{prefix}.ln3")  # full LayerNorm (ref :205)
+        out["cross_att"] = _attention(sd, f"{prefix}.cross_att")
+    return out
+
+
+def _conditioned_block(sd: Mapping, prefix: str, cross: bool) -> Dict:
+    out = _block(sd, prefix, cross)
+    out["adaLN_zero"] = {"modulation": _dense(sd, f"{prefix}.adaLN_zero.modulation.1")}
+    return out
+
+
+def _encoder(sd: Mapping, prefix: str, n_layers: int) -> Dict:
+    out = {f"block_{i}": _block(sd, f"{prefix}.blocks.{i}", cross=False)
+           for i in range(n_layers)}
+    out["ln"] = _biasless_ln(sd, f"{prefix}.ln")
+    return out
+
+
+def _film_decoder(sd: Mapping, prefix: str, n_layers: int) -> Dict:
+    out = {f"block_{i}": _conditioned_block(sd, f"{prefix}.blocks.{i}", cross=True)
+           for i in range(n_layers)}
+    out["ln"] = _biasless_ln(sd, f"{prefix}.ln")
+    return out
+
+
+def port_mdtv_transformer(sd: Mapping, *, n_enc_layers: int = 4,
+                          n_dec_layers: int = 4, use_mlp_goal: bool = True,
+                          use_modality_encoder: bool = True) -> Dict:
+    """Reference MDTVTransformer state_dict -> flax params for
+    models.mdtv_transformer.MDTVTransformer (production: AdaLN decoder)."""
+    params: Dict = {
+        "pos_emb": _np(sd["pos_emb"]),
+        "tok_emb": _dense(sd, "tok_emb"),
+        "goal_emb": _goal_embed(sd, "goal_emb", use_mlp_goal),
+        "proprio_emb": {"fc1": _dense(sd, "proprio_emb.0"),
+                        "fc2": _dense(sd, "proprio_emb.2")},
+        "sigma_emb": _sigma_embed(sd, "sigma_emb"),
+        "action_emb": _dense(sd, "action_emb"),
+        "action_pred": _dense(sd, "action_pred"),
+        "encoder": _encoder(sd, "encoder", n_enc_layers),
+        "decoder": _film_decoder(sd, "decoder", n_dec_layers),
+    }
+    if use_modality_encoder:
+        params["lang_emb"] = _goal_embed(sd, "lang_emb", use_mlp_goal)
+    return params
+
+
+def port_mdt_transformer(sd: Mapping, *, n_enc_layers: int = 4,
+                         n_dec_layers: int = 6, use_mlp_goal: bool = True,
+                         use_modality_encoder: bool = True) -> Dict:
+    """Reference MDTTransformer state_dict -> flax params for
+    models.mdt_transformer.MDTTransformer."""
+    params: Dict = {
+        "pos_emb": _np(sd["pos_emb"]),
+        "tok_emb": _dense(sd, "tok_emb"),
+        "incam_embed": _dense(sd, "incam_embed"),
+        "goal_emb": _goal_embed(sd, "goal_emb", use_mlp_goal),
+        "sigma_emb": _sigma_embed(sd, "sigma_emb"),
+        "action_emb": _dense(sd, "action_emb"),
+        "action_pred": _dense(sd, "action_pred"),
+        "encoder": _encoder(sd, "encoder", n_enc_layers),
+        "decoder": _film_decoder(sd, "decoder", n_dec_layers),
+    }
+    if use_modality_encoder:
+        params["lang_emb"] = _goal_embed(sd, "lang_emb", use_mlp_goal)
+    return params
