@@ -1,0 +1,71 @@
+"""Offline key extraction — the `preprocess/extract_by_key.py` equivalent.
+
+Sweeps every `episode_*.npz` under a CALVIN dataset split and stacks one key
+(default `rel_actions`) into `extracted/ep_{key}.npy` + `ep_npz_names.list`,
+turning the training action reads from ~10 npz opens per sample into one
+mmap'd row gather (the reference's documented ~2 GB/iteration fix,
+README.md:79-80; ref preprocess/extract_by_key.py:43-153).
+
+Includes the reference's self-check: N random rows re-read from source npz
+files must match the extracted matrix (ref :104-121).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import re
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["extract_by_key"]
+
+
+def extract_by_key(dataset_dir, key: str = "rel_actions", *,
+                   out_dir=None, self_check: int = 13) -> Path:
+    dataset_dir = Path(dataset_dir)
+    out_dir = Path(out_dir) if out_dir else dataset_dir / "extracted"
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    frame_re = re.compile(r"episode_(\d+)\.npz$")
+    files = sorted(
+        (p for p in dataset_dir.glob("episode_*.npz")),
+        key=lambda p: int(frame_re.search(p.name).group(1)))
+    if not files:
+        raise FileNotFoundError(f"no episode_*.npz under {dataset_dir}")
+
+    names, rows = [], []
+    for p in files:
+        with np.load(p) as ep:
+            rows.append(np.asarray(ep[key]))
+        names.append(int(frame_re.search(p.name).group(1)))
+    values = np.stack(rows)
+
+    out_npy = out_dir / f"ep_{key}.npy"
+    np.save(out_npy, values)
+    with open(out_dir / "ep_npz_names.list", "w") as f:
+        f.write("\n".join(str(n) for n in names) + "\n")
+
+    # self-check random rows against source files (ref extract_by_key.py:104-121)
+    rng = np.random.default_rng(0)
+    for i in rng.integers(0, len(files), min(self_check, len(files))):
+        with np.load(files[i]) as ep:
+            np.testing.assert_array_equal(values[i], ep[key])
+    logger.info("extracted %s: %s rows -> %s", key, len(values), out_npy)
+    return out_npy
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("-i", "--input", required=True, help="dataset split dir")
+    ap.add_argument("-k", "--key", default="rel_actions")
+    args = ap.parse_args()
+    logging.basicConfig(level=logging.INFO)
+    extract_by_key(args.input, args.key)
+
+
+if __name__ == "__main__":
+    main()

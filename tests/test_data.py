@@ -1,0 +1,141 @@
+"""Data-pipeline tests over a synthetic on-disk CALVIN dataset: extraction,
+index building, chunk assembly semantics (ExtendedDiskDataset parity), window
+determinism, collation, and on-device preprocessing."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from mdt_policy_tpu.data import (
+    BatchLoader,
+    CalvinDataset,
+    Preprocessor,
+    collate,
+    extract_by_key,
+    get_validation_window_size,
+    sample_window_size,
+)
+from mdt_policy_tpu.utils.fnv import fnv1_32
+
+H = 16  # tiny frames
+
+
+@pytest.fixture(scope="module")
+def calvin_dir(tmp_path_factory):
+    """Two episodes: frames [0, 80) and [80, 140), training split layout."""
+    root = tmp_path_factory.mktemp("calvin") / "training"
+    root.mkdir()
+    rng = np.random.default_rng(0)
+    bounds = np.array([[0, 79], [80, 139]])
+    np.save(root / "ep_start_end_ids.npy", bounds)
+    for i in range(140):
+        np.savez(
+            root / f"episode_{i:07d}.npz",
+            rgb_static=rng.integers(0, 255, (H, H, 3), dtype=np.uint8),
+            rgb_gripper=rng.integers(0, 255, (H, H, 3), dtype=np.uint8),
+            robot_obs=np.full((15,), i, np.float32),
+            scene_obs=np.zeros((24,), np.float32),
+            rel_actions=np.full((7,), i, np.float32),
+        )
+    lang = {
+        "info": {"indx": [(0, 79), (80, 139)]},
+        "language": {"emb": rng.normal(size=(2, 1, 384)).astype(np.float32),
+                     "ann": ["open the drawer", "push the red block right"]},
+    }
+    lang_dir = root / "lang_clip_resnet50"
+    lang_dir.mkdir()
+    np.save(lang_dir / "auto_lang_ann.npy", lang, allow_pickle=True)
+    extract_by_key(root, "rel_actions")
+    return root
+
+
+def make_ds(calvin_dir, key="vis", **kw):
+    defaults = dict(min_window_size=21, max_window_size=30, obs_seq_len=1,
+                    action_seq_len=10, img_gen_frame_diff=3,
+                    use_extracted_rel_actions=True, seed=0)
+    defaults.update(kw)
+    return CalvinDataset(calvin_dir, key=key, **defaults)
+
+
+class TestDataset:
+    def test_vision_index_counts(self, calvin_dir):
+        ds = make_ds(calvin_dir)
+        # per episode: start .. end+1-min_window (ref disk_dataset.py:155-158)
+        expected = len(range(0, 79 + 1 - 21)) + len(range(80, 139 + 1 - 21))
+        assert len(ds) == expected == 98
+
+    def test_sample_structure_and_action_slicing(self, calvin_dir):
+        ds = make_ds(calvin_dir)
+        s = ds[0]  # start frame 0
+        assert s["rgb_static"].shape == (2, H, H, 3)  # obs + goal frame
+        assert s["gen_static"].shape == (H, H, 3)
+        assert s["actions"].shape == (10, 7)
+        # actions are rows [start+obs_seq_len-1, +10) = frames 0..9
+        np.testing.assert_array_equal(s["actions"][:, 0], np.arange(10, dtype=np.float32))
+        # gen frame = start + obs_seq_len + diff - 1 = frame 3
+        assert int(s["future_frame_diff"]) == 3
+
+    def test_goal_frame_clipped_to_episode_end(self, calvin_dir):
+        ds = make_ds(calvin_dir)
+        # robot_obs[1] is the goal frame's robot_obs (filled with frame index)
+        s = ds[len(ds) - 1]  # last lookup index of 2nd episode
+        goal_frame_idx = s["robot_obs"][-1, 0]
+        assert goal_frame_idx <= 139
+
+    def test_lang_dataset(self, calvin_dir):
+        ds = make_ds(calvin_dir, key="lang")
+        s = ds[0]
+        assert s["lang_text"] == "open the drawer"
+        assert s["lang_emb"].shape == (384,)
+
+    def test_extracted_matches_npz(self, calvin_dir):
+        d1 = make_ds(calvin_dir, use_extracted_rel_actions=True)
+        d2 = make_ds(calvin_dir, use_extracted_rel_actions=False)
+        np.testing.assert_array_equal(d1[5]["actions"], d2[5]["actions"])
+
+
+class TestWindows:
+    def test_validation_hash_matches_formula(self):
+        for idx in [0, 7, 12345]:
+            w = get_validation_window_size(idx, 21, 50)
+            assert w == 21 + fnv1_32(str(idx)) % 30
+            assert 21 <= w <= 50
+
+    def test_geometric_in_range_and_boundary_clipped(self):
+        lookup = np.arange(100)
+        rng = np.random.default_rng(0)
+        for idx in [0, 50, 95]:
+            w = sample_window_size(lookup, idx, 21, 50, validation=False,
+                                   strategy="geometric", rng=rng)
+            assert 21 <= w <= 50
+        # idx near the end: max window shrinks
+        w = sample_window_size(lookup, 78, 21, 50, validation=True)
+        assert w <= 21 + (100 - 78 - 1)
+
+
+class TestLoaderAndPreprocess:
+    def test_collate_and_loader(self, calvin_dir):
+        ds = make_ds(calvin_dir, key="lang")
+        tok = lambda texts, n: np.zeros((len(texts), n), np.int32)
+        loader = BatchLoader(ds, batch_size=3, tokenizer=tok, context_length=8)
+        batch = next(iter(loader))
+        loader.close()
+        assert batch["rgb_static"].shape == (3, 2, H, H, 3)
+        assert batch["lang_tokens"].shape == (3, 8)
+        assert batch["actions"].shape == (3, 10, 7)
+
+    def test_preprocessor_shapes(self, calvin_dir):
+        import jax
+        ds = make_ds(calvin_dir)
+        batch = collate([ds[0], ds[1]])
+        pp = Preprocessor(static_size=32, gripper_size=24, gen_size=16,
+                          static_pad=2, gripper_pad=1)
+        out = pp.train_batch(jax.random.PRNGKey(0), batch)
+        assert out["rgb_static"].shape == (2, 2, 32, 32, 3)
+        assert out["rgb_gripper"].shape == (2, 2, 24, 24, 3)
+        assert out["gen_static"].shape == (2, 16, 16, 3)
+        # normalized: roughly zero-centered
+        assert abs(float(np.mean(np.asarray(out["rgb_static"])))) < 2.0
+        ev = pp.eval_batch(batch)
+        assert ev["rgb_static"].shape == (2, 2, 32, 32, 3)
