@@ -151,6 +151,12 @@ class MDTVAgentNet(nn.Module):
     def decode_actions(self, context, actions, sigma, *, train: bool = False):
         return self.inner.decode(context, actions, sigma, train=train)
 
+    def gen_img_forward(self, context, goal_imgs):
+        return self.gen_img(context, goal_imgs)
+
+    def gen_img_loss(self, goal_imgs, recon, mask):
+        return self.gen_img.compute_loss(goal_imgs, recon, mask)
+
     # ---- losses (one modality scope) ------------------------------------------
 
     def __call__(self, batch: Batch, *, modality: str, train: bool = True):
@@ -335,7 +341,8 @@ def denoise_actions(
     sigma_min: Optional[float] = None,
     sigma_max: Optional[float] = None,
     noise_scheduler: Optional[str] = None,
-) -> jax.Array:
+    return_context: bool = False,
+):
     """Sample an action chunk (ref denoise_actions, mdtv_agent.py:523-550).
 
     The encoder runs ONCE; the sampler scan closes over the context — unlike
@@ -366,7 +373,47 @@ def denoise_actions(
 
     k_init, k_samp = jax.random.split(rng)
     x = jax.random.normal(k_init, (B, cfg.act_window_size, cfg.action_dim)) * smax
-    return sample_loop(sampler_type, denoise_fn, x, sigmas, key=k_samp)
+    actions = sample_loop(sampler_type, denoise_fn, x, sigmas, key=k_samp)
+    if return_context:
+        return actions, context
+    return actions
+
+
+def validation_step(net: MDTVAgentNet, params, batch: Dict[str, Batch],
+                    rng: jax.Array) -> Dict[str, jax.Array]:
+    """Validation metrics (ref validation_step, mdtv_agent.py:300-357): full
+    10-step sampling + MSE vs ground-truth actions + masked-foresight loss,
+    per modality. jit with `jax.jit(partial(validation_step, net))`."""
+    cfg = net.cfg
+    metrics: Dict[str, jax.Array] = {}
+    total = 0.0
+    for i, scope in enumerate(sorted(batch.keys())):
+        b = batch[scope]
+        emb = net.apply({"params": params}, b["rgb_static"][:, :-1],
+                        b["rgb_gripper"][:, :-1],
+                        method="compute_voltron_embeddings")
+        image_goal = net.apply({"params": params}, b["rgb_static"][:, -1],
+                               method="encode_visual_goal")
+        if scope == "lang":
+            goal = net.apply({"params": params}, b["lang_tokens"],
+                             method="encode_language_goal")
+        else:
+            goal = image_goal
+        pred, context = denoise_actions(
+            net, params, emb, goal, jax.random.fold_in(rng, i),
+            modality=scope, return_context=True)
+        pred_loss = jnp.mean(jnp.square(pred - b["actions"]))
+        goal_imgs = jnp.stack([b["gen_static"], b["gen_gripper"]], axis=1)
+        recon, mask, _, _ = net.apply(
+            {"params": params}, context, goal_imgs,
+            rngs={"mask": jax.random.fold_in(rng, 100 + i)}, method="gen_img_forward")
+        img_loss = net.apply({"params": params}, goal_imgs, recon, mask,
+                             method="gen_img_loss")
+        metrics[f"val_act/{scope}_act_loss_pp"] = pred_loss
+        metrics[f"val_act/{scope}_img_gen_loss"] = img_loss
+        total = total + pred_loss
+    metrics["val_act/action_loss"] = total / len(batch)
+    return metrics
 
 
 class MDTVPolicy:

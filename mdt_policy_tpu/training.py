@@ -1,0 +1,257 @@
+"""Training entry point (L7 CLI + L5 runtime).
+
+Replaces the reference's Hydra + PyTorch-Lightning stack (`mdt/training.py`)
+with a dataclass/YAML config and a single jitted train step over a data mesh:
+
+    python -m mdt_policy_tpu.training --config conf.yaml \
+        data.root_data_dir=/data/task_D_D trainer.max_epochs=20
+
+Reference recipe preserved (conf/config.yaml): 1000 steps/epoch, batch 128
+per device-group, dual {'vis','lang'} streams, validation on 4 batches per
+epoch, EMA weights maintained every step, checkpoint per epoch with
+auto-resume from the newest checkpoint (training.py:46-50).
+
+With no dataset configured the loop runs on synthetic batches — the smoke /
+throughput-bench mode.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+import time
+from functools import partial
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class DataConfig:
+    root_data_dir: Optional[str] = None   # CALVIN split root (training/ + validation/)
+    lang_folder: str = "lang_clip_resnet50"
+    min_window_size: int = 21
+    max_window_size: int = 50
+    obs_seq_len: int = 1
+    action_seq_len: int = 10
+    img_gen_frame_diff: int = 3
+    window_sampling_strategy: str = "geometric"
+    use_extracted_rel_actions: bool = True
+    # synthetic-data shapes (smoke mode)
+    synthetic_static_hw: int = 200
+    synthetic_gripper_hw: int = 84
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    batch_size: int = 128          # per modality stream (conf/config.yaml:27)
+    max_epochs: int = 20
+    steps_per_epoch: int = 1000    # limit_train_batches (conf/config.yaml:50)
+    limit_val_batches: int = 4     # (conf/config.yaml:51)
+    seed: int = 242
+    log_every: int = 50
+    keep_checkpoints: int = 1
+
+
+@dataclasses.dataclass
+class RunConfig:
+    agent: str = "mdtv"            # 'mdtv' | 'mdt'
+    log_dir: str = "runs"
+    run_name: Optional[str] = None
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    trainer: TrainerConfig = dataclasses.field(default_factory=TrainerConfig)
+    agent_overrides: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+
+def load_config(path: Optional[str], overrides) -> RunConfig:
+    """YAML + dotted key=value overrides (the Hydra-style CLI surface)."""
+    import yaml
+
+    raw: Dict[str, Any] = {}
+    if path:
+        raw = yaml.safe_load(Path(path).read_text()) or {}
+    for ov in overrides:
+        key, _, val = ov.partition("=")
+        node = raw
+        parts = key.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = yaml.safe_load(val)
+
+    cfg = RunConfig()
+    for section, cls in (("data", DataConfig), ("trainer", TrainerConfig)):
+        if section in raw:
+            setattr(cfg, section, cls(**{**dataclasses.asdict(getattr(cfg, section)),
+                                         **raw[section]}))
+    cfg.agent = raw.get("agent", cfg.agent)
+    cfg.log_dir = raw.get("log_dir", cfg.log_dir)
+    cfg.run_name = raw.get("run_name", cfg.run_name)
+    cfg.agent_overrides = raw.get("agent_overrides", {})
+    return cfg
+
+
+def _make_agent(cfg: RunConfig):
+    from mdt_policy_tpu.agents import MDTConfig, MDTVConfig
+    if cfg.agent == "mdtv":
+        return MDTVConfig(**cfg.agent_overrides)
+    if cfg.agent == "mdt":
+        return MDTConfig(**cfg.agent_overrides)
+    raise ValueError(f"unknown agent {cfg.agent!r}")
+
+
+def _synthetic_batch(rng: np.random.Generator, B: int, data_cfg: DataConfig,
+                     agent_cfg):
+    hs, hg = data_cfg.synthetic_static_hw, data_cfg.synthetic_gripper_hw
+    ctx, vocab = agent_cfg.clip_context_length, agent_cfg.clip_vocab_size
+    def scope():
+        return {
+            "rgb_static": rng.integers(0, 255, (B, 2, hs, hs, 3)).astype(np.uint8),
+            "rgb_gripper": rng.integers(0, 255, (B, 2, hg, hg, 3)).astype(np.uint8),
+            "gen_static": rng.integers(0, 255, (B, hs, hs, 3)).astype(np.uint8),
+            "gen_gripper": rng.integers(0, 255, (B, hg, hg, 3)).astype(np.uint8),
+            "actions": rng.normal(size=(B, 10, 7)).astype(np.float32),
+            "lang_tokens": rng.integers(1, vocab, (B, ctx)).astype(np.int32),
+        }
+    return {"vis": scope(), "lang": scope()}
+
+
+def _real_loaders(cfg: RunConfig):
+    from mdt_policy_tpu.data import BatchLoader, CalvinDataset, DualStreamLoader
+    from mdt_policy_tpu.utils.clip_tokenizer import tokenize
+
+    root = Path(cfg.data.root_data_dir) / "training"
+    kw = dict(lang_folder=cfg.data.lang_folder,
+              obs_seq_len=cfg.data.obs_seq_len,
+              action_seq_len=cfg.data.action_seq_len,
+              min_window_size=cfg.data.min_window_size,
+              max_window_size=cfg.data.max_window_size,
+              img_gen_frame_diff=cfg.data.img_gen_frame_diff,
+              window_sampling_strategy=cfg.data.window_sampling_strategy,
+              use_extracted_rel_actions=cfg.data.use_extracted_rel_actions,
+              seed=cfg.trainer.seed)
+    tok = lambda texts, n: tokenize(texts, n)
+    vis = BatchLoader(CalvinDataset(root, key="vis", **kw), cfg.trainer.batch_size,
+                      seed=cfg.trainer.seed)
+    lang = BatchLoader(CalvinDataset(root, key="lang", **kw), cfg.trainer.batch_size,
+                       seed=cfg.trainer.seed + 1, tokenizer=tok)
+    return DualStreamLoader(vis, lang)
+
+
+def train(cfg: RunConfig):
+    import jax
+    from mdt_policy_tpu.agents import init_agent as init_mdtv, train_step
+    from mdt_policy_tpu.agents.mdt_agent import init_agent as init_mdt
+    from mdt_policy_tpu.agents.mdtv_agent import validation_step
+    from mdt_policy_tpu.data.loader import Preprocessor
+    from mdt_policy_tpu.parallel import make_mesh, replicate_tree, shard_batch
+    from mdt_policy_tpu.utils.checkpoint import Checkpointer, latest_checkpoint
+    from mdt_policy_tpu.utils.logging_utils import MetricsLogger
+
+    run_name = cfg.run_name or time.strftime("%Y-%m-%d_%H-%M-%S")
+    run_dir = Path(cfg.log_dir) / run_name
+    mlog = MetricsLogger(run_dir, config=dataclasses.asdict(cfg))
+    logger.info("run dir: %s | devices: %s", run_dir, jax.devices())
+
+    agent_cfg = _make_agent(cfg)
+    np_rng = np.random.default_rng(cfg.trainer.seed)
+    rng = jax.random.PRNGKey(cfg.trainer.seed)
+
+    synthetic = cfg.data.root_data_dir is None
+    if synthetic:
+        logger.warning("no root_data_dir configured: SYNTHETIC data mode")
+        loader = None
+        raw_batch = _synthetic_batch(np_rng, cfg.trainer.batch_size, cfg.data,
+                                     agent_cfg)
+    else:
+        loader = _real_loaders(cfg)
+        raw_batch = next(iter(loader))
+
+    pp = Preprocessor(static_size=agent_cfg.img_size,
+                      gripper_size=min(84, agent_cfg.img_size),
+                      gen_size=agent_cfg.gen_img_res)
+    rng, k_pp, k_init = jax.random.split(rng, 3)
+    batch = {s: pp.train_batch(jax.random.fold_in(k_pp, i), b)
+             for i, (s, b) in enumerate(sorted(raw_batch.items()))}
+
+    init = init_mdtv if cfg.agent == "mdtv" else init_mdt
+    net, state = init(agent_cfg, k_init, batch["lang"])
+
+    import math as _math
+    n_use = _math.gcd(cfg.trainer.batch_size, len(jax.devices()))
+    mesh = make_mesh(jax.devices()[:n_use])
+    if n_use < len(jax.devices()):
+        logger.warning("batch %d not divisible by %d devices; using %d",
+                       cfg.trainer.batch_size, len(jax.devices()), n_use)
+    state = state.replace(params=replicate_tree(state.params, mesh),
+                          ema_params=replicate_tree(state.ema_params, mesh),
+                          opt_state=replicate_tree(state.opt_state, mesh))
+
+    ckpt = Checkpointer(run_dir / "checkpoints", keep=cfg.trainer.keep_checkpoints)
+    if latest_checkpoint(run_dir / "checkpoints") is not None:
+        state = ckpt.restore(state)
+        logger.info("auto-resumed from step %d", int(state.step))
+
+    jitted_step = jax.jit(partial(train_step, net), donate_argnums=(0,))
+    jitted_val = jax.jit(partial(validation_step, net)) if cfg.agent == "mdtv" else None
+
+    data_iter = iter(loader) if loader is not None else None
+    total_steps = cfg.trainer.max_epochs * cfg.trainer.steps_per_epoch
+    t_last = time.perf_counter()
+    while int(state.step) < total_steps:
+        step = int(state.step)
+        if data_iter is not None:
+            raw_batch = next(data_iter)
+        rng, k_pp, k_step = jax.random.split(rng, 3)
+        batch = {s: pp.train_batch(jax.random.fold_in(k_pp, i), b)
+                 for i, (s, b) in enumerate(sorted(raw_batch.items()))}
+        batch = {s: shard_batch(b, mesh) for s, b in batch.items()}
+        state, metrics = jitted_step(state, batch, k_step)
+
+        if (step + 1) % cfg.trainer.log_every == 0:
+            dt = (time.perf_counter() - t_last) / cfg.trainer.log_every
+            t_last = time.perf_counter()
+            metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            metrics["perf/steps_per_sec"] = 1.0 / dt
+            metrics["perf/chunks_per_sec"] = 2 * cfg.trainer.batch_size / dt
+            mlog.log(metrics, step + 1)
+            logger.info("step %d | loss %.4f | %.1f chunks/s", step + 1,
+                        metrics["train/total_loss"], metrics["perf/chunks_per_sec"])
+
+        if (step + 1) % cfg.trainer.steps_per_epoch == 0:
+            if jitted_val is not None:
+                val_metrics: Dict[str, float] = {}
+                for vb in range(cfg.trainer.limit_val_batches):
+                    rng, k_v = jax.random.split(rng)
+                    vm = jitted_val(state.ema_params, batch, k_v)
+                    for k, v in jax.device_get(vm).items():
+                        val_metrics[k] = val_metrics.get(k, 0.0) + float(v)
+                val_metrics = {k: v / cfg.trainer.limit_val_batches
+                               for k, v in val_metrics.items()}
+                mlog.log(val_metrics, step + 1)
+            ckpt.save(state)
+            logger.info("epoch %d checkpointed at step %d",
+                        (step + 1) // cfg.trainer.steps_per_epoch, step + 1)
+
+    if loader is not None:
+        loader.close()
+    mlog.finish()
+    return state
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", default=None, help="YAML config path")
+    ap.add_argument("overrides", nargs="*", help="dotted key=value overrides")
+    args = ap.parse_args()
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(levelname)s %(name)s: %(message)s")
+    cfg = load_config(args.config, args.overrides)
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()
