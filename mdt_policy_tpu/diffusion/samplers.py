@@ -557,3 +557,162 @@ def sample_loop(
     if sampler_type == "dpm_fast":
         return sample_dpm_fast(denoise_fn, x, float(s[-2]), float(s[0]), len(s), key=key)
     raise ValueError(f"Unknown sampler type: {sampler_type!r}")
+
+
+# ---------------------------------------------------------------------------
+# DPM-Solver adaptive (PID-controlled step size) and log-likelihood
+# ---------------------------------------------------------------------------
+
+def sample_dpm_adaptive(
+    denoise_fn: DenoiseFn, x: jax.Array, sigma_min: float, sigma_max: float, *,
+    key=None, order: int = 3, rtol: float = 0.05, atol: float = 0.0078,
+    h_init: float = 0.05, pcoeff: float = 0.0, icoeff: float = 1.0,
+    dcoeff: float = 0.0, accept_safety: float = 0.81, eta: float = 0.0,
+    s_noise: float = 1.0, max_steps: int = 256,
+) -> jax.Array:
+    """DPM-Solver-12/23 with adaptive step size (reference:
+    gc_sampling.py:618-669 + PIDStepSizeController :495-521), as a
+    `lax.while_loop` — the data-dependent step count lives on-device.
+
+    Note: the reference's `dpm_solver_adaptive` references an undefined
+    `noise_sampler` before assignment (gc_sampling.py:619) and crashes when
+    called; this is the corrected semantics (fresh Gaussians when eta > 0).
+    """
+    if order not in (2, 3):
+        raise ValueError("order should be 2 or 3")
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    t_start, t_end = -math.log(sigma_max), -math.log(sigma_min)
+    pid_order = 1.5 if eta else order
+    b1 = (pcoeff + icoeff + dcoeff) / pid_order
+    b2 = -(pcoeff + 2 * dcoeff) / pid_order
+    b3 = dcoeff / pid_order
+
+    def sigma_of(t):
+        return jnp.exp(-t)
+
+    def eps_at(x, t):
+        sig = sigma_of(t)
+        denoised = denoise_fn(x, jnp.maximum(sig, 1e-10))
+        return (x - denoised) / sig
+
+    def solver_1(x, t, t_next, eps):
+        h = t_next - t
+        return x - sigma_of(t_next) * jnp.expm1(h) * eps
+
+    def solver_2(x, t, t_next, eps, r1=0.5):
+        h = t_next - t
+        s1 = t + r1 * h
+        u1 = x - sigma_of(s1) * jnp.expm1(r1 * h) * eps
+        eps_r1 = eps_at(u1, s1)
+        return (x - sigma_of(t_next) * jnp.expm1(h) * eps
+                - sigma_of(t_next) / (2 * r1) * jnp.expm1(h) * (eps_r1 - eps)), eps_r1
+
+    def solver_3(x, t, t_next, eps):
+        r1, r2 = 1 / 3, 2 / 3
+        h = t_next - t
+        s1, s2 = t + r1 * h, t + r2 * h
+        u1 = x - sigma_of(s1) * jnp.expm1(r1 * h) * eps
+        eps_r1 = eps_at(u1, s1)
+        u2 = (x - sigma_of(s2) * jnp.expm1(r2 * h) * eps
+              - sigma_of(s2) * (r2 / r1) * (jnp.expm1(r2 * h) / (r2 * h) - 1)
+              * (eps_r1 - eps))
+        eps_r2 = eps_at(u2, s2)
+        return (x - sigma_of(t_next) * jnp.expm1(h) * eps
+                - sigma_of(t_next) / r2 * (jnp.expm1(h) / h - 1) * (eps_r2 - eps))
+
+    def cond(carry):
+        x, x_prev, s, h, errs, k, n = carry
+        return jnp.logical_and(s < t_end - 1e-5, n < max_steps)
+
+    def body(carry):
+        x, x_prev, s, h, errs, k, n = carry
+        k, k_noise = jax.random.split(k)
+        t = jnp.minimum(t_end, s + h)
+        if eta:
+            sd, su = _ancestral_step(sigma_of(s), sigma_of(t), eta)
+            t_ = jnp.minimum(t_end, -jnp.log(jnp.maximum(sd, 1e-20)))
+            su = jnp.sqrt(jnp.maximum(sigma_of(t) ** 2 - sigma_of(t_) ** 2, 0.0))
+        else:
+            t_, su = t, jnp.float32(0.0)
+
+        eps = eps_at(x, s)
+        if order == 2:
+            x_low = solver_1(x, s, t_, eps)
+            x_high, _ = solver_2(x, s, t_, eps)
+        else:
+            x_low, _ = solver_2(x, s, t_, eps, r1=1 / 3)
+            x_high = solver_3(x, s, t_, eps)
+
+        delta = jnp.maximum(atol, rtol * jnp.maximum(jnp.abs(x_low), jnp.abs(x_prev)))
+        error = jnp.linalg.norm((x_low - x_high) / delta) / x.size ** 0.5
+
+        # PID controller (ref :509-521)
+        inv_err = 1.0 / (error + 1e-8)
+        e0 = inv_err
+        factor = e0 ** b1 * errs[0] ** b2 * errs[1] ** b3
+        factor = 1 + jnp.arctan(factor - 1)  # limiter (ref :506-507)
+        accept = factor >= accept_safety
+
+        noise = jax.random.normal(k_noise, x.shape, x.dtype)
+        x_new = jnp.where(accept, x_high + su * s_noise * noise, x)
+        x_prev_new = jnp.where(accept, x_low, x_prev)
+        s_new = jnp.where(accept, t, s)
+        errs_new = jnp.where(accept, jnp.array([e0, errs[0]]), errs)
+        h_new = h * factor
+        return (x_new, x_prev_new, s_new, h_new, errs_new, k, n + 1)
+
+    init_err = jnp.array([1e8, 1e8], jnp.float32)  # initialized lazily as in ref
+    # the reference seeds errs with the first inverse error; approximate by a
+    # first half-iteration outside the loop
+    eps0 = eps_at(x, jnp.float32(t_start))
+    t0 = jnp.minimum(t_end, t_start + abs(h_init))
+    if order == 2:
+        x_low0 = solver_1(x, jnp.float32(t_start), t0, eps0)
+        x_high0, _ = solver_2(x, jnp.float32(t_start), t0, eps0)
+    else:
+        x_low0, _ = solver_2(x, jnp.float32(t_start), t0, eps0, r1=1 / 3)
+        x_high0 = solver_3(x, jnp.float32(t_start), t0, eps0)
+    delta0 = jnp.maximum(atol, rtol * jnp.maximum(jnp.abs(x_low0), jnp.abs(x)))
+    err0 = jnp.linalg.norm((x_low0 - x_high0) / delta0) / x.size ** 0.5
+    inv0 = 1.0 / (err0 + 1e-8)
+    init_err = jnp.array([inv0, inv0], jnp.float32)
+
+    carry = (x, x, jnp.float32(t_start), jnp.float32(abs(h_init)), init_err,
+             key, jnp.int32(0))
+    x, *_ = jax.lax.while_loop(cond, body, carry)
+    return x
+
+
+def log_likelihood(
+    denoise_fn: DenoiseFn, x: jax.Array, sigma_min: float, sigma_max: float, *,
+    key=None, atol: float = 1e-4, rtol: float = 1e-4,
+):
+    """Exact log-likelihood via the probability-flow ODE + Hutchinson trace
+    estimator (reference: gc_sampling.py:468-492, torchdiffeq dopri5 ->
+    jax.experimental.ode.odeint dopri5/adaptive here; jvp replaces the
+    autograd vjp — same Rademacher estimator)."""
+    from jax.experimental.ode import odeint
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    v = jax.random.rademacher(key, x.shape, jnp.float32)
+
+    def ode_fn(state, sigma):
+        xt, _ = state
+        def d_of(xx):
+            denoised = denoise_fn(xx, jnp.maximum(sigma, 1e-10))
+            return (xx - denoised) / sigma
+        d, jvp_v = jax.jvp(d_of, (xt,), (v,))
+        d_ll = jnp.sum((v * jvp_v).reshape(xt.shape[0], -1), axis=1)
+        return (d, d_ll)
+
+    init = (x, jnp.zeros((x.shape[0],), jnp.float32))
+    ts = jnp.array([sigma_min, sigma_max], jnp.float32)
+    latent, delta_ll = jax.tree.map(lambda y: y[-1], odeint(ode_fn, init, ts,
+                                                            atol=atol, rtol=rtol))
+    # prior log-prob under N(0, sigma_max^2)
+    d = np.prod(x.shape[1:])
+    ll_prior = (-0.5 * jnp.sum((latent / sigma_max) ** 2, axis=tuple(range(1, x.ndim)))
+                - 0.5 * d * math.log(2 * math.pi * sigma_max ** 2))
+    return ll_prior + delta_ll

@@ -113,6 +113,8 @@ class Attention(nn.Module):
     resid_pdrop: float = 0.0
     causal: bool = False
     bias: bool = False
+    use_rot_embed: bool = False
+    rotary_xpos: bool = False
 
     @nn.compact
     def __call__(self, x, context=None, *, deterministic: bool = True,
@@ -126,6 +128,12 @@ class Attention(nn.Module):
         q = q.reshape(B, T, self.n_head, hd).transpose(0, 2, 1, 3)
         k = k.reshape(B, -1, self.n_head, hd).transpose(0, 2, 1, 3)
         v = v.reshape(B, -1, self.n_head, hd).transpose(0, 2, 1, 3)
+        if self.use_rot_embed:
+            # rotary over max(n_head//2, 32) dims (ref transformer_blocks.py:111)
+            from .position_embeddings import RotaryEmbedding
+            rot = RotaryEmbedding(max(self.n_head // 2, 32),
+                                  use_xpos=self.rotary_xpos, name="rotary")
+            q, k = rot(q, k)
         y = sdpa(q, k, v, causal=self.causal, mask=custom_attn_mask)
         if self.attn_pdrop > 0:
             # the reference drops attention *probabilities*; dropping the
@@ -468,3 +476,135 @@ class SigmaEmbedding(nn.Module):
         x = _dense(2 * self.embed_dim, name="fc1")(x)
         x = mish(x)
         return _dense(self.embed_dim, name="fc2")(x)
+
+
+class TransformerEncoderInterleaved(nn.Module):
+    """Encoder returning per-layer outputs for interleaved cross-attention
+    decoders (ref transformer_blocks.py:383-423). The last entry is the
+    final-LN output."""
+    embed_dim: int
+    n_heads: int
+    n_layers: int
+    attn_pdrop: float = 0.0
+    resid_pdrop: float = 0.0
+    mlp_pdrop: float = 0.0
+    bias: bool = False
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        outputs = []
+        for i in range(self.n_layers):
+            x = Block(self.embed_dim, self.n_heads, self.attn_pdrop, self.resid_pdrop,
+                      self.mlp_pdrop, causal=False, bias=self.bias, name=f"block_{i}")(
+                x, deterministic=deterministic)
+            outputs.append(x)
+        outputs[-1] = BiaslessLayerNorm(self.bias, name="ln")(x)
+        return outputs
+
+
+class TransformerFiLMEncoder(nn.Module):
+    """Non-causal AdaLN-conditioned encoder (ref transformer_blocks.py:426-464)."""
+    embed_dim: int
+    n_heads: int
+    n_layers: int
+    film_cond_dim: int
+    attn_pdrop: float = 0.0
+    resid_pdrop: float = 0.0
+    mlp_pdrop: float = 0.0
+    bias: bool = False
+
+    @nn.compact
+    def __call__(self, x, c, *, deterministic: bool = True):
+        for i in range(self.n_layers):
+            x = ConditionedBlock(self.embed_dim, self.n_heads, self.attn_pdrop,
+                                 self.resid_pdrop, self.mlp_pdrop, causal=False,
+                                 bias=self.bias, film_cond_dim=self.film_cond_dim,
+                                 name=f"block_{i}")(x, c, deterministic=deterministic)
+        return BiaslessLayerNorm(self.bias, name="ln")(x)
+
+
+class TransformerCrossAttentionEncoder(nn.Module):
+    """Non-causal blocks with self+cross attention (ref :636-674)."""
+    embed_dim: int
+    n_heads: int
+    n_layers: int
+    attn_pdrop: float = 0.0
+    resid_pdrop: float = 0.0
+    mlp_pdrop: float = 0.0
+    bias: bool = False
+
+    @nn.compact
+    def __call__(self, x, cond=None, *, deterministic: bool = True):
+        for i in range(self.n_layers):
+            x = Block(self.embed_dim, self.n_heads, self.attn_pdrop, self.resid_pdrop,
+                      self.mlp_pdrop, causal=False, use_cross_attention=True,
+                      bias=self.bias, name=f"block_{i}")(
+                x, cond, deterministic=deterministic)
+        return BiaslessLayerNorm(self.bias, name="ln")(x)
+
+
+class TransformerCrossAttentionOnlyEncoder(nn.Module):
+    """Cross-attention-only block stack (ref :677-714)."""
+    embed_dim: int
+    n_heads: int
+    n_layers: int
+    attn_pdrop: float = 0.0
+    resid_pdrop: float = 0.0
+    mlp_pdrop: float = 0.0
+    bias: bool = False
+
+    @nn.compact
+    def __call__(self, x, cond=None, *, deterministic: bool = True):
+        for i in range(self.n_layers):
+            x = CrossAttentionOnlyBlock(self.embed_dim, self.n_heads, self.attn_pdrop,
+                                        self.resid_pdrop, self.mlp_pdrop, causal=False,
+                                        bias=self.bias, name=f"block_{i}")(
+                x, cond, deterministic=deterministic)
+        return BiaslessLayerNorm(self.bias, name="ln")(x)
+
+
+class SiamneseDecoder(nn.Module):
+    """Non-causal cross-attention decoder (ref :794-832; reference spelling
+    kept for API parity)."""
+    embed_dim: int
+    n_heads: int
+    n_layers: int
+    attn_pdrop: float = 0.0
+    resid_pdrop: float = 0.0
+    mlp_pdrop: float = 0.0
+    bias: bool = False
+
+    @nn.compact
+    def __call__(self, x, cond=None, *, deterministic: bool = True):
+        for i in range(self.n_layers):
+            x = Block(self.embed_dim, self.n_heads, self.attn_pdrop, self.resid_pdrop,
+                      self.mlp_pdrop, causal=False, use_cross_attention=True,
+                      bias=self.bias, name=f"block_{i}")(
+                x, cond, deterministic=deterministic)
+        return BiaslessLayerNorm(self.bias, name="ln")(x)
+
+
+class TransformerFiLMDecoderInterleaved(nn.Module):
+    """Causal AdaLN decoder cross-attending to per-layer encoder outputs
+    (ref :572-633)."""
+    embed_dim: int
+    n_heads: int
+    n_layers: int
+    film_cond_dim: int
+    attn_pdrop: float = 0.0
+    resid_pdrop: float = 0.0
+    mlp_pdrop: float = 0.0
+    bias: bool = False
+    use_noise_encoder: bool = False
+
+    @nn.compact
+    def __call__(self, x, c, conds, *, deterministic: bool = True):
+        block_cls = NoiseBlock if self.use_noise_encoder else ConditionedBlock
+        for i in range(self.n_layers):
+            kwargs = {} if self.use_noise_encoder else {"film_cond_dim": self.film_cond_dim}
+            x = block_cls(self.embed_dim, self.n_heads, self.attn_pdrop,
+                          self.resid_pdrop, self.mlp_pdrop, causal=True,
+                          use_cross_attention=True, bias=self.bias,
+                          name=f"block_{i}", **kwargs)(
+                x, c, conds[i], deterministic=deterministic)
+        return BiaslessLayerNorm(self.bias, name="ln")(x)
