@@ -1,0 +1,154 @@
+"""Standalone evaluation entry point — the `mdt_evaluate` CLI equivalent
+(`mdt/evaluation/mdt_evaluate.py:223-283`):
+
+    python -m mdt_policy_tpu.evaluate --train-folder runs/<name> \
+        --dataset-path /data/task_D_D/validation \
+        --sampler ddim --steps 10 --sigma-min 0.001 --sigma-max 80
+
+* re-reads the training run's config (the run dir is the source of truth,
+  ref evaluation/utils.py:159-163), restores the BEST checkpoint's EMA
+  weights (ref :92-103), applies eval-time sampler overrides
+  (conf/mdt_evaluate.yaml:27-35),
+* runs the 1000-chain benchmark against calvin_env (or `--fake-env` for a
+  sim-free smoke run), writes results.json (ref print_and_save).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def build_policy(train_folder: str, *, sampler_type=None, num_sampling_steps=None,
+                 sigma_min=None, sigma_max=None, noise_scheduler=None,
+                 multistep=None, use_ema: bool = True):
+    """Restore agent + EMA params from a training run dir and wrap as a
+    rollout policy with sampler overrides."""
+    import jax
+    import yaml
+    from mdt_policy_tpu.agents import MDTVConfig, init_agent
+    from mdt_policy_tpu.agents.mdtv_agent import MDTVPolicy
+    from mdt_policy_tpu.training import RunConfig, load_config, _synthetic_batch, DataConfig
+    from mdt_policy_tpu.utils.checkpoint import Checkpointer
+    from mdt_policy_tpu.data.loader import Preprocessor
+
+    train_folder = Path(train_folder)
+    cfg_file = train_folder / "config.yaml"
+    overrides = {}
+    if cfg_file.exists():
+        overrides = (yaml.safe_load(cfg_file.read_text()) or {}).get("agent_overrides", {})
+    agent_cfg = MDTVConfig(**overrides)
+    # eval-time sampler overrides (ref mdt_evaluate.py:247-256)
+    replace = {}
+    if sampler_type: replace["sampler_type"] = sampler_type
+    if num_sampling_steps: replace["num_sampling_steps"] = num_sampling_steps
+    if sigma_min is not None: replace["sigma_min"] = sigma_min
+    if sigma_max is not None: replace["sigma_max"] = sigma_max
+    if noise_scheduler: replace["noise_scheduler"] = noise_scheduler
+    if multistep: replace["multistep"] = multistep
+    agent_cfg = dataclasses.replace(agent_cfg, **replace)
+
+    rng = np.random.default_rng(0)
+    example = {
+        "rgb_static": np.zeros((1, 2, agent_cfg.img_size, agent_cfg.img_size, 3), np.float32),
+        "rgb_gripper": np.zeros((1, 2, agent_cfg.img_size, agent_cfg.img_size, 3), np.float32),
+        "gen_static": np.zeros((1, agent_cfg.gen_img_res, agent_cfg.gen_img_res, 3), np.float32),
+        "gen_gripper": np.zeros((1, agent_cfg.gen_img_res, agent_cfg.gen_img_res, 3), np.float32),
+        "actions": np.zeros((1, agent_cfg.act_window_size, agent_cfg.action_dim), np.float32),
+        "lang_tokens": np.zeros((1, agent_cfg.clip_context_length), np.int32),
+    }
+    net, state = init_agent(agent_cfg, __import__("jax").random.PRNGKey(0), example)
+    ck = Checkpointer(train_folder / "checkpoints")
+    step = ck.best_step()
+    state = ck.restore(state, step=step)
+    params = state.ema_params if use_ema else state.params
+    logger.info("restored %s weights from step %s",
+                "EMA" if use_ema else "raw", int(state.step))
+    pp = Preprocessor(static_size=agent_cfg.img_size,
+                      gripper_size=min(84, agent_cfg.img_size),
+                      gen_size=agent_cfg.gen_img_res)
+
+    policy = MDTVPolicy(net, params)
+
+    class PreprocessingPolicy:
+        """Adapts raw env obs (uint8) to the jitted policy inputs."""
+        def reset(self):
+            policy.reset()
+
+        def step(self, obs, goal):
+            batch = pp.eval_batch({
+                "rgb_static": obs["rgb_obs"]["rgb_static"],
+                "rgb_gripper": obs["rgb_obs"]["rgb_gripper"],
+            })
+            return np.asarray(policy.step(
+                {"rgb_static": batch["rgb_static"],
+                 "rgb_gripper": batch["rgb_gripper"]},
+                goal))
+
+    return PreprocessingPolicy(), agent_cfg
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--train-folder", required=True)
+    ap.add_argument("--dataset-path", default=None, help="CALVIN validation dir")
+    ap.add_argument("--num-sequences", type=int, default=1000)
+    ap.add_argument("--ep-len", type=int, default=360)
+    ap.add_argument("--sampler", default=None)
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--sigma-min", type=float, default=None)
+    ap.add_argument("--sigma-max", type=float, default=None)
+    ap.add_argument("--noise-scheduler", default=None)
+    ap.add_argument("--multistep", type=int, default=None)
+    ap.add_argument("--no-ema", action="store_true")
+    ap.add_argument("--fake-env", action="store_true",
+                    help="protocol smoke run without PyBullet")
+    args = ap.parse_args()
+    logging.basicConfig(level=logging.INFO)
+
+    from mdt_policy_tpu.evaluation import evaluate_policy, print_and_save
+    from mdt_policy_tpu.utils.clip_tokenizer import tokenize
+
+    policy, agent_cfg = build_policy(
+        args.train_folder, sampler_type=args.sampler,
+        num_sampling_steps=args.steps, sigma_min=args.sigma_min,
+        sigma_max=args.sigma_max, noise_scheduler=args.noise_scheduler,
+        multistep=args.multistep, use_ema=not args.no_ema)
+
+    if args.fake_env:
+        from mdt_policy_tpu.evaluation.fake_env import FakeEnv, ScriptedOracle
+        env, oracle = FakeEnv(img_hw=64), ScriptedOracle(default=10 ** 9)
+        annotations = {}
+    else:
+        from mdt_policy_tpu.evaluation.env_adapter import make_calvin_env
+        env = make_calvin_env(args.dataset_path)
+        import importlib
+        tasks_mod = importlib.import_module("calvin_env.envs.tasks")
+        import yaml as _yaml
+        task_cfg = Path(args.dataset_path).parent / "training" / ".hydra"  # optional
+        oracle = tasks_mod.Tasks()  # default task definitions
+        annotations = {}
+
+    def goal_fn(subtask: str):
+        text = annotations.get(subtask, [subtask.replace("_", " ")])[0]
+        return {"lang_tokens": tokenize(text, agent_cfg.clip_context_length),
+                "lang_text": text}
+
+    results = evaluate_policy(policy, env, oracle, goal_fn,
+                              num_sequences=args.num_sequences,
+                              ep_len=args.ep_len)
+    data = print_and_save(results, args.num_sequences,
+                          Path(args.train_folder) / "evaluation")
+    print(json.dumps({"avg_seq_len": data["avg_seq_len"],
+                      "chain_sr": data["chain_sr"]}, indent=2))
+
+
+if __name__ == "__main__":
+    main()
