@@ -105,6 +105,7 @@ class MDTVConfig:
     # training
     optimizer: OptimizerConfig = OptimizerConfig()
     lr_scheduler: LRSchedulerConfig = LRSchedulerConfig()
-    # compute dtype for the heavy encoders under bf16-friendly TPU matmuls
-    # (params stay float32; reference trains with AMP fp16, conf/config.yaml:46)
-    compute_dtype: str = "float32"
+    # dtype for the FROZEN encoder towers (params + activations). bf16 is the
+    # TPU-native analogue of the reference's AMP fp16 (conf/config.yaml:46);
+    # trainable modules stay float32.
+    compute_dtype: str = "bfloat16"

@@ -56,6 +56,9 @@ class MDTConfig(MDTVConfig):
 class MDTAgentNet(nn.Module):
     """All MDT sub-networks under one module tree."""
     cfg: MDTConfig
+    # MDT freezes only the CLIP goal towers; both ResNets train
+    # (ref configure_optimizers puts static/gripper resnets in the optimizer)
+    frozen_prefixes: Tuple[str, ...] = ("visual_goal", "language_goal")
 
     def setup(self):
         c = self.cfg
@@ -116,10 +119,13 @@ class MDTAgentNet(nn.Module):
                                 method="linear", antialias=True)
 
     def encode_visual_goal(self, goal_image):
-        return jax.lax.stop_gradient(self.visual_goal(self._to_vit_size(goal_image)))
+        cdt = jnp.dtype(self.cfg.compute_dtype)
+        out = self.visual_goal(self._to_vit_size(goal_image).astype(cdt))
+        return jax.lax.stop_gradient(out.astype(jnp.float32))
 
     def encode_language_goal(self, lang_tokens):
-        return jax.lax.stop_gradient(self.language_goal(lang_tokens))
+        out = self.language_goal(lang_tokens)
+        return jax.lax.stop_gradient(out.astype(jnp.float32))
 
     def encode_context(self, perceptual_emb, latent_goal, sigma, *, modality,
                        train: bool = False):
@@ -192,16 +198,6 @@ class MDTAgentNet(nn.Module):
         return (loss_i2t + loss_t2i) / 2
 
 
-# MDT freezes only the CLIP goal towers; both ResNets are trainable
-# (ref configure_optimizers puts static/gripper resnets in the optimizer)
-MDT_FROZEN_PREFIXES = ("visual_goal", "language_goal")
-
-
-def _trainable_mask(params):
-    return {k: jax.tree.map(lambda _: k not in MDT_FROZEN_PREFIXES, v)
-            for k, v in params.items()}
-
-
 def make_optimizer(cfg: MDTConfig) -> optax.GradientTransformation:
     from mdt_policy_tpu.utils.schedulers import tri_stage_schedule
     sched = tri_stage_schedule(
@@ -210,14 +206,14 @@ def make_optimizer(cfg: MDTConfig) -> optax.GradientTransformation:
         final_lr_scale=cfg.lr_scheduler.final_lr_scale,
         total_steps=cfg.lr_scheduler.total_steps,
         phase_ratio=cfg.lr_scheduler.phase_ratio)
-    adamw = optax.adamw(learning_rate=sched, b1=cfg.optimizer.betas[0],
-                        b2=cfg.optimizer.betas[1],
-                        weight_decay=cfg.optimizer.transformer_weight_decay)
-    return optax.masked(adamw, _trainable_mask)
+    return optax.adamw(learning_rate=sched, b1=cfg.optimizer.betas[0],
+                       b2=cfg.optimizer.betas[1],
+                       weight_decay=cfg.optimizer.transformer_weight_decay)
 
 
 def init_agent(cfg: MDTConfig, rng: jax.Array, example_batch: Batch
                ) -> Tuple[MDTAgentNet, TrainState]:
+    from .mdtv_agent import split_params
     net = MDTAgentNet(cfg)
     init_rngs = dict(zip(
         ("params", "dropout", "sigma", "noise", "mask", "goal_mask"),
@@ -225,7 +221,13 @@ def init_agent(cfg: MDTConfig, rng: jax.Array, example_batch: Batch
     init_fn = jax.jit(partial(net.init, modality="lang", train=True))
     variables = init_fn(init_rngs, example_batch)
     params = variables["params"]
+    cdt = jnp.dtype(cfg.compute_dtype)
+    if cdt != jnp.float32:
+        for k in net.frozen_prefixes:
+            if k in params:
+                params[k] = jax.tree.map(lambda x: x.astype(cdt), params[k])
     tx = make_optimizer(cfg)
+    trainable, _ = split_params(params, net.frozen_prefixes)
     return net, TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                           opt_state=tx.init(params),
+                           opt_state=tx.init(trainable),
                            ema_params=jax.tree.map(jnp.copy, params), tx=tx)

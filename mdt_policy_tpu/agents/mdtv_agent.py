@@ -57,9 +57,21 @@ Batch = Dict[str, jax.Array]
 FROZEN_PREFIXES = ("visual_goal", "language_goal", "img_encoder")
 
 
+def split_params(params, frozen_prefixes=FROZEN_PREFIXES):
+    """Partition the param tree into (trainable, frozen) top-level subtrees.
+
+    Grads are taken w.r.t. the trainable subtree ONLY: the frozen towers are
+    closed over as constants, so no zero-gradient trees are materialized and
+    the optimizer/EMA touch ~30M instead of ~150M params per step."""
+    trainable = {k: v for k, v in params.items() if k not in frozen_prefixes}
+    frozen = {k: v for k, v in params.items() if k in frozen_prefixes}
+    return trainable, frozen
+
+
 class MDTVAgentNet(nn.Module):
     """All MDT-V sub-networks under one module tree."""
     cfg: MDTVConfig
+    frozen_prefixes: Tuple[str, ...] = FROZEN_PREFIXES
 
     def setup(self):
         c = self.cfg
@@ -122,10 +134,11 @@ class MDTVAgentNet(nn.Module):
         (ref mdtv_agent.py:392-403). Inputs (B, T, H, W, 3), already
         CLIP-normalized by the on-device preprocessing stage."""
         B, T = rgb_static.shape[:2]
+        cdt = jnp.dtype(self.cfg.compute_dtype)
         flat_s = self._to_vit_size(rgb_static.reshape((B * T,) + rgb_static.shape[2:]))
         flat_g = self._to_vit_size(rgb_gripper.reshape((B * T,) + rgb_gripper.shape[2:]))
-        static_tokens = self.img_encoder(flat_s)
-        gripper_tokens = self.img_encoder(flat_g)
+        static_tokens = self.img_encoder(flat_s.astype(cdt)).astype(jnp.float32)
+        gripper_tokens = self.img_encoder(flat_g.astype(cdt)).astype(jnp.float32)
         if self.cfg.freeze_img_encoder:
             static_tokens = jax.lax.stop_gradient(static_tokens)
             gripper_tokens = jax.lax.stop_gradient(gripper_tokens)
@@ -135,11 +148,14 @@ class MDTVAgentNet(nn.Module):
     def encode_visual_goal(self, goal_image):
         """Frozen CLIP ViT-B/16 image embed (ref vision_clip.py:33-47);
         input already CLIP-normalized."""
-        return jax.lax.stop_gradient(self.visual_goal(self._to_vit_size(goal_image)))
+        cdt = jnp.dtype(self.cfg.compute_dtype)
+        out = self.visual_goal(self._to_vit_size(goal_image).astype(cdt))
+        return jax.lax.stop_gradient(out.astype(jnp.float32))
 
     def encode_language_goal(self, lang_tokens):
         """Frozen CLIP text embed (ref clip_lang_encoder.py:24-28)."""
-        return jax.lax.stop_gradient(self.language_goal(lang_tokens))
+        out = self.language_goal(lang_tokens)
+        return jax.lax.stop_gradient(out.astype(jnp.float32))
 
     # ---- score-model wrappers --------------------------------------------------
 
@@ -246,16 +262,11 @@ class TrainState(flax.struct.PyTreeNode):
     tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
 
 
-def _trainable_mask(params):
-    def mask_tree(tree, frozen):
-        return jax.tree.map(lambda _: not frozen, tree)
-    return {k: mask_tree(v, k in FROZEN_PREFIXES) for k, v in params.items()}
-
-
 def make_optimizer(cfg: MDTVConfig) -> optax.GradientTransformation:
     """AdamW(lr=1e-4, betas=(0.9,0.9), wd=0.05) with tri-stage cosine schedule
-    (ref configure_optimizers, mdtv_agent.py:164-199), masked so frozen towers
-    receive no updates."""
+    (ref configure_optimizers, mdtv_agent.py:164-199). Applied to the
+    TRAINABLE subtree only (frozen towers never enter the optimizer — exactly
+    the reference's optimizer-group membership)."""
     sched = tri_stage_schedule(
         peak_lr=cfg.optimizer.learning_rate,
         init_lr_scale=cfg.lr_scheduler.init_lr_scale,
@@ -263,12 +274,11 @@ def make_optimizer(cfg: MDTVConfig) -> optax.GradientTransformation:
         total_steps=cfg.lr_scheduler.total_steps,
         phase_ratio=cfg.lr_scheduler.phase_ratio,
     )
-    adamw = optax.adamw(
+    return optax.adamw(
         learning_rate=sched,
         b1=cfg.optimizer.betas[0], b2=cfg.optimizer.betas[1],
         weight_decay=cfg.optimizer.transformer_weight_decay,
     )
-    return optax.masked(adamw, _trainable_mask)
 
 
 def init_agent(cfg: MDTVConfig, rng: jax.Array, example_batch: Batch) -> Tuple[MDTVAgentNet, TrainState]:
@@ -280,25 +290,39 @@ def init_agent(cfg: MDTVConfig, rng: jax.Array, example_batch: Batch) -> Tuple[M
     init_fn = jax.jit(partial(net.init, modality="lang", train=True))
     variables = init_fn(init_rngs, example_batch)
     params = variables["params"]
+    # frozen towers are inference-only: store them in the compute dtype
+    # (bf16 halves their HBM traffic and doubles MXU rate; trainables stay f32)
+    cdt = jnp.dtype(cfg.compute_dtype)
+    if cdt != jnp.float32:
+        for k in net.frozen_prefixes:
+            if k in params:
+                params[k] = jax.tree.map(lambda x: x.astype(cdt), params[k])
     tx = make_optimizer(cfg)
+    trainable, _ = split_params(params, net.frozen_prefixes)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
-        opt_state=tx.init(params),
+        opt_state=tx.init(trainable),
         ema_params=jax.tree.map(jnp.copy, params),
         tx=tx,
     )
     return net, state
 
 
-def train_step(net: MDTVAgentNet, state: TrainState, batch: Dict[str, Batch],
+def train_step(net, state: TrainState, batch: Dict[str, Batch],
                rng: jax.Array) -> Tuple[TrainState, Dict[str, jax.Array]]:
     """One optimizer step over the dual-modality batch
     (ref training_step, mdtv_agent.py:222-298). jit with
-    `jax.jit(partial(train_step, net), donate_argnums=(0,))`."""
-    scopes = tuple(sorted(batch.keys()))
+    `jax.jit(partial(train_step, net), donate_argnums=(0,))`.
 
-    def loss_fn(params):
+    Gradients are taken w.r.t. the trainable subtree only; frozen towers are
+    constants of the loss (no zero-grad materialization, ~5x less
+    optimizer/EMA HBM traffic)."""
+    scopes = tuple(sorted(batch.keys()))
+    trainable, frozen = split_params(state.params, net.frozen_prefixes)
+
+    def loss_fn(trainable_params):
+        params = {**trainable_params, **frozen}
         metrics = {}
         total = 0.0
         for i, scope in enumerate(scopes):
@@ -313,12 +337,16 @@ def train_step(net: MDTVAgentNet, state: TrainState, batch: Dict[str, Batch],
         metrics["train/total_loss"] = total
         return total, metrics
 
-    grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
-    updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
-    new_params = optax.apply_updates(state.params, updates)
-    # reference EMA sees the POST-increment global step (ema.py:131-142)
+    grads, metrics = jax.grad(loss_fn, has_aux=True)(trainable)
+    updates, new_opt_state = state.tx.update(grads, state.opt_state, trainable)
+    new_trainable = optax.apply_updates(trainable, updates)
+    new_params = {**new_trainable, **frozen}
+    # reference EMA sees the POST-increment global step (ema.py:131-142);
+    # EMA over trainables only — frozen towers never move, their EMA is
+    # themselves (the reference EMAs the whole state_dict; identical values)
     decay = ema_decay(state.step + 1)
-    new_ema = ema_update(state.ema_params, new_params, decay)
+    ema_trainable, _ = split_params(state.ema_params, net.frozen_prefixes)
+    new_ema = {**ema_update(ema_trainable, new_trainable, decay), **frozen}
     metrics["train/ema_rate"] = decay
     return state.replace(step=state.step + 1, params=new_params,
                          opt_state=new_opt_state, ema_params=new_ema), metrics

@@ -158,7 +158,9 @@ class VoltronViT(nn.Module):
         x = PatchEmbed(self.patch_size, self.embed_dim, name="patch_embed")(images)
         grid = self.img_size // self.patch_size
         pe = get_2d_sincos_pos_embed(self.embed_dim, grid)
-        x = x + jnp.asarray(pe)[None]
+        # keep the compute dtype (bf16 path): a float32 constant would silently
+        # upcast every downstream op
+        x = x + jnp.asarray(pe, x.dtype)[None]
         for i in range(self.depth):
             x = VoltronBlock(self.embed_dim, self.n_heads, self.mlp_ratio,
                              name=f"block_{i}")(x)
