@@ -42,7 +42,10 @@ def main():
             }
         return {"vis": scope(), "lang": scope()}
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    # B=512/modality saturates the v5e MXU (B=1024 exceeds 16G HBM); the step
+    # time is ~flat from B=64 to B=512 (launch-latency floor ~90ms over the
+    # remote tunnel), so large batch is free throughput
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     batch = make_batch(B)
     print(f"init (B={B} per modality) ...", file=sys.stderr)
     net, state = init_agent(cfg, jax.random.PRNGKey(0), batch["lang"])
