@@ -31,10 +31,12 @@ def main():
     rng = np.random.default_rng(0)
 
     def make_batch(B):
+        # camera frames in bf16 (the preprocessing stage's output dtype);
+        # f32 frames alone would blow HBM at production batch sizes
         def scope():
             return {
-                "rgb_static": jnp.asarray(rng.uniform(size=(B, 2, 224, 224, 3)), jnp.float32),
-                "rgb_gripper": jnp.asarray(rng.uniform(size=(B, 2, 224, 224, 3)), jnp.float32),
+                "rgb_static": jnp.asarray(rng.uniform(size=(B, 2, 224, 224, 3)), jnp.bfloat16),
+                "rgb_gripper": jnp.asarray(rng.uniform(size=(B, 2, 224, 224, 3)), jnp.bfloat16),
                 "gen_static": jnp.asarray(rng.uniform(size=(B, 112, 112, 3)), jnp.float32),
                 "gen_gripper": jnp.asarray(rng.uniform(size=(B, 112, 112, 3)), jnp.float32),
                 "actions": jnp.asarray(rng.normal(size=(B, 10, 7)), jnp.float32),

@@ -121,14 +121,17 @@ def _unflatten_time(x, bt):
 
 
 def preprocess_rgb_train(key: jax.Array, images: jax.Array, *, size: int,
-                         shift_pad: Optional[int]) -> jax.Array:
+                         shift_pad: Optional[int],
+                         out_dtype=jnp.bfloat16) -> jax.Array:
     """Train-time camera pipeline: resize -> random shift -> scale+normalize.
-    images: (B, H, W, C) or (B, T, H, W, C) uint8."""
+    images: (B, H, W, C) or (B, T, H, W, C) uint8. Output defaults to bf16 —
+    camera frames feed the bf16 frozen towers and at production batch sizes
+    float32 frames alone would cost ~GBs of HBM."""
     flat, bt = _flatten_time(images)
     x = resize_batch(flat, size)
     if shift_pad:
         x = random_shift_aug(key, x, shift_pad)
-    x = scale_and_normalize(x)
+    x = scale_and_normalize(x).astype(out_dtype)
     return _unflatten_time(x, bt)
 
 

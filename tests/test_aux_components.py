@@ -1,0 +1,84 @@
+"""Tests for auxiliary components: memory cache, misc utils, lang annotator,
+and the CALVIN validation-annotation table."""
+
+import numpy as np
+import pytest
+
+from mdt_policy_tpu.data.lang_annotator import (
+    annotate_episodes,
+    write_auto_lang_ann,
+    write_embeddings,
+)
+from mdt_policy_tpu.utils.misc import (
+    get_portion_of_batch_ids,
+    initialize_pretrained_weights,
+)
+
+
+class TestMemoryCache:
+    def test_cache_hits_and_eviction(self, tmp_path):
+        # synthetic micro-dataset
+        root = tmp_path / "training"
+        root.mkdir()
+        np.save(root / "ep_start_end_ids.npy", np.array([[0, 39]]))
+        for i in range(40):
+            np.savez(root / f"episode_{i:07d}.npz",
+                     rgb_static=np.zeros((8, 8, 3), np.uint8),
+                     rgb_gripper=np.zeros((8, 8, 3), np.uint8),
+                     robot_obs=np.zeros(15, np.float32),
+                     scene_obs=np.zeros(24, np.float32),
+                     rel_actions=np.full(7, i, np.float32))
+        from mdt_policy_tpu.data import CalvinDataset
+        from mdt_policy_tpu.data.memory_cache import CachedCalvinDataset
+        ds = CalvinDataset(root, min_window_size=5, max_window_size=8,
+                           use_extracted_rel_actions=False)
+        cds = CachedCalvinDataset(ds, max_bytes=1 << 20)
+        s1 = cds[0]
+        assert cds._bytes > 0
+        s2 = cds[0]
+        np.testing.assert_array_equal(s1["actions"], s2["actions"])
+        cds.preload(limit=10)
+        assert len(cds._cache) >= 10
+
+
+class TestMisc:
+    def test_portion_of_batch_ids(self):
+        ids = get_portion_of_batch_ids(0.5, 10)
+        assert len(ids) == 5 and ids.max() <= 9
+        assert get_portion_of_batch_ids(0.0, 10).size == 0
+
+    def test_initialize_pretrained_weights_partial(self):
+        import jax.numpy as jnp
+        params = {"a": {"w": jnp.zeros((2, 2)), "b": jnp.zeros(3)},
+                  "c": jnp.zeros(4)}
+        pre = {"a": {"w": jnp.ones((2, 2)), "b": jnp.ones(99)},  # shape mismatch on b
+               "c": jnp.full(4, 7.0)}
+        out = initialize_pretrained_weights(params, pre)
+        np.testing.assert_allclose(np.asarray(out["a"]["w"]), 1.0)
+        np.testing.assert_allclose(np.asarray(out["a"]["b"]), 0.0)  # skipped
+        np.testing.assert_allclose(np.asarray(out["c"]), 7.0)
+
+
+class TestLangAnnotator:
+    def test_annotate_and_write(self, tmp_path):
+        # oracle: task solved in windows whose start is a multiple of 32
+        def detect(start_info, end_info):
+            return ["open_drawer"] if start_info["t"] % 32 == 0 else []
+
+        infos = [{"t": t} for t in range(200)]
+        ann = {"open_drawer": ["open the drawer", "pull the drawer open"]}
+        idx, tasks, sents = annotate_episodes(detect, infos, ann,
+                                              window=64, stride=16)
+        assert len(idx) == len(tasks) == len(sents) > 0
+        assert all(t == "open_drawer" for t in tasks)
+        embs = np.zeros((len(sents), 1, 16), np.float32)
+        p = write_auto_lang_ann(tmp_path, idx, tasks, sents, embs)
+        loaded = np.load(p, allow_pickle=True).item()
+        assert loaded["language"]["ann"] == sents
+        assert loaded["info"]["indx"] == idx
+
+        p2 = write_embeddings(tmp_path, {"open_drawer": ["open the drawer"]},
+                              embed_fn=lambda s: np.ones(16))
+        table = np.load(p2, allow_pickle=True).item()
+        assert "open_drawer" in table
+        np.testing.assert_allclose(table["open_drawer"]["emb"], 1.0)
