@@ -54,7 +54,7 @@ class ResidualAttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, T, C = x.shape
-        h = nn.LayerNorm(name="ln_1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln_1")(x)
         qkv = nn.Dense(3 * C, name="in_proj")(h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         hd = C // self.heads
@@ -64,7 +64,7 @@ class ResidualAttentionBlock(nn.Module):
         attn = sdpa(q, k, v, causal=self.causal)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, T, C)
         x = x + nn.Dense(C, name="out_proj")(attn)
-        h = nn.LayerNorm(name="ln_2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
         h = nn.Dense(4 * C, name="c_fc")(h)
         h = quick_gelu(h)
         x = x + nn.Dense(C, name="c_proj")(h)
@@ -95,12 +95,12 @@ class CLIPVisionTower(nn.Module):
         pos = self.param("positional_embedding", nn.initializers.normal(scale),
                          (n_pos, self.width))
         x = x + pos[None]
-        x = nn.LayerNorm(name="ln_pre")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_pre")(x)
         heads = self.heads or max(self.width // 64, 1)
         for i in range(self.layers):
             x = ResidualAttentionBlock(self.width, heads,
                                        name=f"resblock_{i}")(x)
-        x = nn.LayerNorm(name="ln_post")(x[:, 0, :])
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_post")(x[:, 0, :])
         proj = self.param("proj", nn.initializers.normal(scale),
                           (self.width, self.embed_dim))
         return x @ proj
@@ -129,7 +129,7 @@ class CLIPTextTower(nn.Module):
         for i in range(self.layers):
             x = ResidualAttentionBlock(self.width, self.heads, causal=True,
                                        name=f"resblock_{i}")(x)
-        x = nn.LayerNorm(name="ln_final")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_final")(x)
         # pool at EOT token = highest token id per sequence
         eot = jnp.argmax(tokens, axis=-1)
         pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1).squeeze(1)

@@ -151,3 +151,97 @@ def port_mdt_transformer(sd: Mapping, *, n_enc_layers: int = 4,
     if use_modality_encoder:
         params["lang_emb"] = _goal_embed(sd, "lang_emb", use_mlp_goal)
     return params
+
+
+# ---------------------------------------------------------------------------
+# OpenAI CLIP towers (goal encoders)
+# ---------------------------------------------------------------------------
+
+def _conv_nhwc(sd: Mapping, prefix: str) -> Dict:
+    """torch Conv2d (O, I, H, W) -> flax NHWC kernel (H, W, I, O)."""
+    out = {"kernel": _np(sd[f"{prefix}.weight"]).transpose(2, 3, 1, 0)}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _clip_resblock(sd: Mapping, prefix: str) -> Dict:
+    """OpenAI ResidualAttentionBlock -> models.clip.ResidualAttentionBlock.
+    Packed qkv `attn.in_proj_*` maps to the fused `in_proj` Dense."""
+    return {
+        "ln_1": _ln(sd, f"{prefix}.ln_1"),
+        "in_proj": {"kernel": _np(sd[f"{prefix}.attn.in_proj_weight"]).T,
+                    "bias": _np(sd[f"{prefix}.attn.in_proj_bias"])},
+        "out_proj": _dense(sd, f"{prefix}.attn.out_proj"),
+        "ln_2": _ln(sd, f"{prefix}.ln_2"),
+        "c_fc": _dense(sd, f"{prefix}.mlp.c_fc"),
+        "c_proj": _dense(sd, f"{prefix}.mlp.c_proj"),
+    }
+
+
+def port_clip_vision(sd: Mapping, *, layers: int = 12, prefix: str = "visual"
+                     ) -> Dict:
+    """OpenAI CLIP `visual.*` ViT tower -> models.clip.CLIPVisionTower params
+    (weights published at mdt/models/networks/clip.py:33-40 URL table)."""
+    p = prefix
+    params: Dict = {
+        "conv1": _conv_nhwc(sd, f"{p}.conv1"),
+        "class_embedding": _np(sd[f"{p}.class_embedding"]),
+        "positional_embedding": _np(sd[f"{p}.positional_embedding"]),
+        "ln_pre": _ln(sd, f"{p}.ln_pre"),
+        "ln_post": _ln(sd, f"{p}.ln_post"),
+        "proj": _np(sd[f"{p}.proj"]),
+    }
+    for i in range(layers):
+        params[f"resblock_{i}"] = _clip_resblock(sd, f"{p}.transformer.resblocks.{i}")
+    return params
+
+
+def port_clip_text(sd: Mapping, *, layers: int = 12) -> Dict:
+    """OpenAI CLIP text tower -> models.clip.CLIPTextTower params."""
+    params: Dict = {
+        "token_embedding": {"embedding": _np(sd["token_embedding.weight"])},
+        "positional_embedding": _np(sd["positional_embedding"]),
+        "ln_final": _ln(sd, "ln_final"),
+        "text_projection": _np(sd["text_projection"]),
+    }
+    for i in range(layers):
+        params[f"resblock_{i}"] = _clip_resblock(sd, f"transformer.resblocks.{i}")
+    return params
+
+
+def port_resnet18_gn(sd: Mapping, *, prefix: str = "backbone", fc_prefix: str = "fc_layers.0") -> Dict:
+    """torchvision-style resnet18 (BatchNorm already swapped to GroupNorm,
+    ref resnets.py:119-126) -> models.resnet.BesoResNetEncoder params.
+
+    The reference wraps the torchvision trunk in nn.Sequential, so module
+    names are positional: 0=conv1, 1=norm, 4..7=layer1..4 (ref resnets.py:114-115).
+    """
+    def gn(pfx):
+        return {"scale": _np(sd[f"{pfx}.weight"]), "bias": _np(sd[f"{pfx}.bias"])}
+
+    def block(src, stride_block: bool):
+        out = {
+            "conv1": _conv_nhwc(sd, f"{src}.conv1"),
+            "bn1": gn(f"{src}.bn1"),
+            "conv2": _conv_nhwc(sd, f"{src}.conv2"),
+            "bn2": gn(f"{src}.bn2"),
+        }
+        if f"{src}.downsample.0.weight" in sd:
+            out["downsample_conv"] = _conv_nhwc(sd, f"{src}.downsample.0")
+            out["downsample_norm"] = gn(f"{src}.downsample.1")
+        return out
+
+    p = prefix
+    params: Dict = {"backbone": {
+        "conv1": _conv_nhwc(sd, f"{p}.0"),
+        "bn1": gn(f"{p}.1"),
+    }}
+    for stage in range(4):
+        seq_idx = 4 + stage
+        for b in range(2):
+            params["backbone"][f"layer{stage + 1}_{b}"] = block(
+                f"{p}.{seq_idx}.{b}", stride_block=(b == 0 and stage > 0))
+    if f"{fc_prefix}.weight" in sd:
+        params["fc"] = _dense(sd, fc_prefix)
+    return params

@@ -1,0 +1,81 @@
+"""CLIP-tower porting parity: a randomly initialized copy of the reference's
+vendored OpenAI CLIP (ViT path) must produce the same encode_image /
+encode_text outputs as our flax towers after weight conversion."""
+
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REF = Path("/root/reference")
+
+
+@pytest.fixture(scope="module")
+def ref_clip():
+    if not REF.exists():
+        pytest.skip("reference not mounted")
+    sys.path.insert(0, str(REF))
+    # stub deps the vendored clip.py imports but never uses for model math
+    tvt = types.ModuleType("torchvision.transforms")
+    for name in ("CenterCrop", "Compose", "Normalize", "Resize", "ToTensor"):
+        setattr(tvt, name, object)
+    tvt.InterpolationMode = types.SimpleNamespace(BICUBIC=3)
+    tv = types.ModuleType("torchvision")
+    tv.transforms = tvt
+    sys.modules.setdefault("torchvision", tv)
+    sys.modules.setdefault("torchvision.transforms", tvt)
+    tok_stub = types.ModuleType("mdt.utils.clip_tokenizer")
+    tok_stub.SimpleTokenizer = object
+    for name in ("mdt", "mdt.utils"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["mdt.utils.clip_tokenizer"] = tok_stub
+    # load by file path (other tests register bare 'mdt' stubs that break
+    # package-style imports)
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_clip_mod", REF / "mdt/models/networks/clip.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.CLIP
+
+
+def test_clip_tower_parity(ref_clip):
+    import torch
+    import jax.numpy as jnp
+    from mdt_policy_tpu.models.clip import CLIPTextTower, CLIPVisionTower
+    from mdt_policy_tpu.utils.torch_port import port_clip_text, port_clip_vision
+
+    torch.manual_seed(0)
+    # tiny ViT CLIP: embed 32, vision width 64/2 layers, text width 32/2 layers
+    ref = ref_clip(embed_dim=32, image_resolution=32, vision_layers=2,
+                   vision_width=64, vision_patch_size=16, context_length=12,
+                   vocab_size=100, transformer_width=32, transformer_heads=4,
+                   transformer_layers=2)
+    ref = ref.float().eval()
+
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    tokens = np.zeros((2, 12), np.int64)
+    tokens[:, 0] = 5
+    tokens[0, 1:4] = [7, 9, 99]   # 99 = max id -> EOT position 3
+    tokens[1, 1:3] = [8, 99]
+
+    with torch.no_grad():
+        ref_img = ref.encode_image(torch.tensor(images).permute(0, 3, 1, 2)).numpy()
+        ref_txt = ref.encode_text(torch.tensor(tokens)).numpy()
+
+    # OpenAI derives vision heads as width//64 (clip.py:341-349) -> 1 here
+    vis = CLIPVisionTower(embed_dim=32, image_resolution=32, layers=2,
+                          width=64, patch_size=16, heads=1)
+    txt = CLIPTextTower(embed_dim=32, context_length=12, vocab_size=100,
+                        width=32, heads=4, layers=2)
+    vparams = port_clip_vision(ref.state_dict(), layers=2)
+    tparams = port_clip_text(ref.state_dict(), layers=2)
+
+    our_img = np.asarray(vis.apply({"params": vparams}, jnp.asarray(images)))
+    our_txt = np.asarray(txt.apply({"params": tparams},
+                                   jnp.asarray(tokens.astype(np.int32))))
+    np.testing.assert_allclose(our_img, ref_img, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(our_txt, ref_txt, rtol=1e-3, atol=1e-4)
