@@ -19,6 +19,11 @@ def ref_module():
     if not REF.exists():
         pytest.skip("reference not mounted")
     sys.path.insert(0, str(REF))
+    # purge bare 'mdt' stubs other test modules may have registered — they
+    # lack __path__ and break real package imports
+    for name in list(sys.modules):
+        if name == "mdt" or name.startswith("mdt."):
+            del sys.modules[name]
     om = types.ModuleType("omegaconf")
     om.DictConfig = dict
     sys.modules.setdefault("omegaconf", om)
