@@ -34,7 +34,15 @@ def sdpa(
     """Attention over (B, H, T, D) tensors.
 
     mask: optional boolean array broadcastable to (B, H, Tq, Tk); True = keep.
+
+    With MDT_TPU_PALLAS=1, small self-attention shapes route to the fused
+    Pallas kernel (ops/pallas_attention.py).
     """
+    if mask is None and q.ndim == 4 and q.shape == k.shape == v.shape \
+            and q.shape[-2] <= 32:
+        from .pallas_attention import pallas_enabled, small_seq_mha
+        if pallas_enabled() and jax.default_backend() == "tpu":
+            return small_seq_mha(q, k, v, causal=causal)
     *_, q_len, head_dim = q.shape
     k_len = k.shape[-2]
     scale = head_dim ** -0.5
