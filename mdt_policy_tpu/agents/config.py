@@ -109,3 +109,6 @@ class MDTVConfig:
     # TPU-native analogue of the reference's AMP fp16 (conf/config.yaml:46);
     # trainable modules stay float32.
     compute_dtype: str = "bfloat16"
+    # recompute the perceiver in backward (jax.checkpoint) — frees the
+    # 392-token K/V residuals that dominate HBM at large batch
+    remat_perceiver: bool = True

@@ -78,7 +78,12 @@ class MDTVAgentNet(nn.Module):
         self.img_encoder = VoltronViT(
             patch_size=c.vit_patch, embed_dim=c.perceiver_dim, depth=c.vit_depth,
             n_heads=c.vit_heads, img_size=c.img_size, name="img_encoder")
-        self.perceiver = PerceiverResampler(
+        # remat: the perceiver's K/V activations over the 392-token voltron
+        # grid dominate backward memory at production batch; recompute-in-
+        # backward trades a cheap re-forward for ~GBs of residuals
+        perceiver_cls = nn.remat(PerceiverResampler) if c.remat_perceiver \
+            else PerceiverResampler
+        self.perceiver = perceiver_cls(
             dim=c.perceiver_dim, depth=c.perceiver_depth, dim_head=c.perceiver_dim_head,
             heads=c.perceiver_heads, num_latents=c.num_latents,
             num_time_embeds=c.perceiver_num_time_embeds, name="perceiver")
