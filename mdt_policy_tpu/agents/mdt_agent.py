@@ -111,6 +111,10 @@ class MDTAgentNet(nn.Module):
         gripper_tokens = self.gripper_resnet(flat_g).reshape(B, T, -1)
         return {"static": static_tokens, "gripper": gripper_tokens}
 
+    def perceive(self, rgb_static, rgb_gripper):
+        """Uniform perception entry across agent variants."""
+        return self.embed_visual_obs(rgb_static, rgb_gripper)
+
     def _to_vit_size(self, x):
         s = self.cfg.img_size
         if x.shape[1] == s and x.shape[2] == s:

@@ -150,6 +150,11 @@ class MDTVAgentNet(nn.Module):
         tokens = jnp.concatenate([static_tokens, gripper_tokens], axis=1)[:, None]
         return {"state_images": self.perceiver(tokens)}
 
+    def perceive(self, rgb_static, rgb_gripper):
+        """Uniform perception entry across agent variants (MDT-V: voltron +
+        perceiver; MDT: per-camera ResNets)."""
+        return self.compute_voltron_embeddings(rgb_static, rgb_gripper)
+
     def encode_visual_goal(self, goal_image):
         """Frozen CLIP ViT-B/16 image embed (ref vision_clip.py:33-47);
         input already CLIP-normalized."""
@@ -423,8 +428,7 @@ def validation_step(net: MDTVAgentNet, params, batch: Dict[str, Batch],
     for i, scope in enumerate(sorted(batch.keys())):
         b = batch[scope]
         emb = net.apply({"params": params}, b["rgb_static"][:, :-1],
-                        b["rgb_gripper"][:, :-1],
-                        method="compute_voltron_embeddings")
+                        b["rgb_gripper"][:, :-1], method="perceive")
         image_goal = net.apply({"params": params}, b["rgb_static"][:, -1],
                                method="encode_visual_goal")
         if scope == "lang":
@@ -452,6 +456,8 @@ def validation_step(net: MDTVAgentNet, params, batch: Dict[str, Batch],
 class MDTVPolicy:
     """Stateful rollout wrapper implementing the reference inference protocol
     `reset() / step(obs, goal)` with action chunking (ref mdtv_agent.py:680-746).
+    Works for BOTH agent variants through the uniform `perceive` entry
+    (MDTPolicy in agents/__init__ is an alias).
 
     The full pipeline (goal encode -> voltron -> perceiver -> encoder ->
     10-step sampler scan) is one jitted function, compiled once; re-planning
@@ -471,7 +477,7 @@ class MDTVPolicy:
     def _predict_impl(self, params, rgb_static, rgb_gripper, lang_tokens, rng,
                       **overrides):
         emb = self.net.apply({"params": params}, rgb_static, rgb_gripper,
-                             method="compute_voltron_embeddings")
+                             method="perceive")
         latent_goal = self.net.apply({"params": params}, lang_tokens,
                                      method="encode_language_goal")
         return denoise_actions(self.net, params, emb, latent_goal, rng,

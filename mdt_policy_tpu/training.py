@@ -58,12 +58,25 @@ class TrainerConfig:
 
 
 @dataclasses.dataclass
+class RolloutConfig:
+    """Training-time closed-loop CALVIN rollouts (the RolloutLongHorizon
+    callback, conf/callbacks/rollout_lh/default.yaml)."""
+    enabled: bool = False
+    num_sequences: int = 1000
+    ep_len: int = 360
+    rollout_freq: int = 5          # epochs between rollouts
+    skip_epochs: int = 19          # conf/config.yaml rollout_lh_skip_epochs
+    val_dataset_path: Optional[str] = None   # calvin_env scene source
+
+
+@dataclasses.dataclass
 class RunConfig:
     agent: str = "mdtv"            # 'mdtv' | 'mdt'
     log_dir: str = "runs"
     run_name: Optional[str] = None
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
     trainer: TrainerConfig = dataclasses.field(default_factory=TrainerConfig)
+    rollout: RolloutConfig = dataclasses.field(default_factory=RolloutConfig)
     agent_overrides: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
 
@@ -83,7 +96,8 @@ def load_config(path: Optional[str], overrides) -> RunConfig:
         node[parts[-1]] = yaml.safe_load(val)
 
     cfg = RunConfig()
-    for section, cls in (("data", DataConfig), ("trainer", TrainerConfig)):
+    for section, cls in (("data", DataConfig), ("trainer", TrainerConfig),
+                         ("rollout", RolloutConfig)):
         if section in raw:
             setattr(cfg, section, cls(**{**dataclasses.asdict(getattr(cfg, section)),
                                          **raw[section]}))
@@ -222,6 +236,12 @@ def train(cfg: RunConfig):
                         metrics["train/total_loss"], metrics["perf/chunks_per_sec"])
 
         if (step + 1) % cfg.trainer.steps_per_epoch == 0:
+            epoch = (step + 1) // cfg.trainer.steps_per_epoch
+            if cfg.rollout.enabled:
+                rollout_metrics = _maybe_rollout(cfg, net, state, epoch)
+                if rollout_metrics:
+                    mlog.log(rollout_metrics, step + 1)
+                    ckpt.save(state, metric=rollout_metrics["eval_lh/avg_seq_len"])
             if jitted_val is not None:
                 val_metrics: Dict[str, float] = {}
                 for vb in range(cfg.trainer.limit_val_batches):
@@ -240,6 +260,39 @@ def train(cfg: RunConfig):
         loader.close()
     mlog.finish()
     return state
+
+
+def _maybe_rollout(cfg: RunConfig, net, state, epoch: int):
+    """Training-time long-horizon CALVIN rollout (RolloutLongHorizon
+    equivalent). Uses the EMA weights like the reference's
+    evaluate_ema_weights_instead (ema.py:182-211). Requires calvin_env."""
+    from mdt_policy_tpu.evaluation.training_callbacks import RolloutLongHorizonCallback
+    if not (epoch > cfg.rollout.skip_epochs
+            and (epoch - cfg.rollout.skip_epochs) % cfg.rollout.rollout_freq == 0):
+        return None
+    try:
+        from mdt_policy_tpu.evaluation.env_adapter import make_calvin_env
+        env = make_calvin_env(cfg.rollout.val_dataset_path)
+        import importlib
+        oracle = importlib.import_module("calvin_env.envs.tasks").Tasks()
+    except ImportError as e:
+        logger.warning("rollout skipped: %s", e)
+        return None
+    from mdt_policy_tpu.agents.mdtv_agent import MDTVPolicy
+    from mdt_policy_tpu.utils.clip_tokenizer import tokenize
+    agent_cfg = net.cfg
+    policy = MDTVPolicy(net, state.ema_params)
+
+    def goal_fn(subtask):
+        text = subtask.replace("_", " ")
+        return {"lang_tokens": tokenize(text, agent_cfg.clip_context_length),
+                "lang_text": text}
+
+    cb = RolloutLongHorizonCallback(
+        env, oracle, goal_fn, num_sequences=cfg.rollout.num_sequences,
+        ep_len=cfg.rollout.ep_len, rollout_freq=cfg.rollout.rollout_freq,
+        skip_epochs=cfg.rollout.skip_epochs)
+    return cb(policy, epoch)
 
 
 def main():
