@@ -110,6 +110,9 @@ if _native is not None:
     fnv1a_32 = _native.fnv1a_32
     fnv1_64 = _native.fnv1_64
     fnv1a_64 = _native.fnv1a_64
+    murmur3_32 = _native.murmur3_32
+    xx_32 = _native.xx_32
+    xx_64 = _native.xx_64
     NATIVE = True
 else:  # pure-Python fallback, bit-exact
     fnv1_32 = _fnv1_32_py
