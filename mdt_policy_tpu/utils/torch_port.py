@@ -245,3 +245,143 @@ def port_resnet18_gn(sd: Mapping, *, prefix: str = "backbone", fc_prefix: str = 
     if f"{fc_prefix}.weight" in sd:
         params["fc"] = _dense(sd, fc_prefix)
     return params
+
+
+# ---------------------------------------------------------------------------
+# Perceiver resampler, Voltron ViT, masked decoder, and the full-agent port
+# ---------------------------------------------------------------------------
+
+def port_perceiver(sd: Mapping, *, depth: int = 6, prefix: str = "") -> Dict:
+    """Reference PerceiverResampler state_dict -> models.perceiver params
+    (ref mdt/models/networks/transformers/perceiver_resampler.py:80-163;
+    layers are ModuleList pairs [attn, feed_forward])."""
+    p = (prefix + ".") if prefix else ""
+    params: Dict = {
+        "latents": _np(sd[f"{p}latents"]),
+        "time_pos_emb": _np(sd[f"{p}time_pos_emb"]),
+        "norm": _ln(sd, f"{p}norm"),
+    }
+    for i in range(depth):
+        params[f"attn_{i}"] = {
+            "norm_media": _ln(sd, f"{p}layers.{i}.0.norm_media"),
+            "norm_latents": _ln(sd, f"{p}layers.{i}.0.norm_latents"),
+            "to_q": _dense(sd, f"{p}layers.{i}.0.to_q"),
+            "to_k": _dense(sd, f"{p}layers.{i}.0.to_k"),
+            "to_v": _dense(sd, f"{p}layers.{i}.0.to_v"),
+            "to_out": _dense(sd, f"{p}layers.{i}.0.to_out"),
+        }
+        # feed_forward_layer: Sequential(LN, Linear, act, Linear)
+        # (ref transformers/utils.py:15-27)
+        params[f"ffw_{i}"] = {
+            "norm": _ln(sd, f"{p}layers.{i}.1.0"),
+            "fc1": _dense(sd, f"{p}layers.{i}.1.1"),
+            "fc2": _dense(sd, f"{p}layers.{i}.1.3"),
+        }
+    return params
+
+
+def _voltron_block(sd: Mapping, prefix: str) -> Dict:
+    """Voltron `models/util/transformer.Block` (RMSNorm + fused-qkv attention
+    + SwishGLU MLP + LayerScale) -> models.voltron_vit.VoltronBlock params.
+
+    NOTE: layout follows the published voltron-robotics package; cannot be
+    parity-tested in this image (package not installed) — verify against a
+    real checkpoint before relying on it."""
+    return {
+        "norm1": {"g": _np(sd[f"{prefix}.norm1.g"])} if f"{prefix}.norm1.g" in sd
+                 else _ln(sd, f"{prefix}.norm1"),
+        "attn": {"qkv": _dense(sd, f"{prefix}.attn.qkv"),
+                 "proj": _dense(sd, f"{prefix}.attn.proj")},
+        "ls1": {"gamma": _np(sd[f"{prefix}.ls1.gamma"])},
+        "norm2": {"g": _np(sd[f"{prefix}.norm2.g"])} if f"{prefix}.norm2.g" in sd
+                 else _ln(sd, f"{prefix}.norm2"),
+        "mlp_glu": {"project": _dense(sd, f"{prefix}.mlp.0.project")},
+        "mlp_out": _dense(sd, f"{prefix}.mlp.1"),
+        "ls2": {"gamma": _np(sd[f"{prefix}.ls2.gamma"])},
+    }
+
+
+def port_masked_decoder(sd: Mapping, *, depth: int = 6, prefix: str = "") -> Dict:
+    """Reference MaskedTransformerImgDecoder state_dict ->
+    models.masked_decoder params (ref masked_transformer_decoder.py:69-124;
+    decoder_pe is a fixed sin-cos buffer and is recomputed, not ported)."""
+    p = (prefix + ".") if prefix else ""
+    params: Dict = {
+        "patch2embed": {"proj": _conv_nhwc(sd, f"{p}patch2embed.proj")},
+        "encoder2decoder": _dense(sd, f"{p}encoder2decoder"),
+        "mask_token": _np(sd[f"{p}mask_token"]),
+        "ctx_dec_pe": _np(sd[f"{p}ctx_dec_pe"]),
+        "decoder_norm": {"g": _np(sd[f"{p}decoder_norm.g"])},
+        "decoder_patch_prediction": _dense(sd, f"{p}decoder_patch_prediction"),
+    }
+    for i in range(depth):
+        params[f"block_{i}"] = _voltron_block(sd, f"{p}decoder_blocks.{i}")
+    return params
+
+
+def port_mdtv_agent(sd: Mapping, *, n_enc_layers: int = 4, n_dec_layers: int = 4,
+                    perceiver_depth: int = 6, gen_depth: int = 6,
+                    clip_vision_layers: int = 12, clip_text_layers: int = 12
+                    ) -> Dict:
+    """Full MDTVAgent checkpoint -> MDTVAgentNet param tree.
+
+    Reference module attribute prefixes (mdt/models/mdtv_agent.py:81-143):
+      model.inner_model.*            -> inner
+      perceiver.*                    -> perceiver
+      img_encoder.vcond.*            -> img_encoder  (Voltron v-cond ViT)
+      visual_goal.clip_model.visual.* -> visual_goal  (CLIP ViT-B/16)
+      language_goal.clip_rn50.*      -> language_goal (CLIP text tower)
+      gen_img.*                      -> gen_img
+      clip_proj.latent_proj.*        -> clip_proj
+      logit_scale                    -> logit_scale
+    """
+    def sub(prefix):
+        plen = len(prefix)
+        return {k[plen:]: v for k, v in sd.items() if k.startswith(prefix)}
+
+    params: Dict = {
+        "inner": port_mdtv_transformer(sub("model.inner_model."),
+                                       n_enc_layers=n_enc_layers,
+                                       n_dec_layers=n_dec_layers),
+        "perceiver": port_perceiver(sub("perceiver."), depth=perceiver_depth),
+        "visual_goal": port_clip_vision(sub("visual_goal.clip_model."),
+                                        layers=clip_vision_layers),
+        "language_goal": port_clip_text(sub("language_goal.clip_rn50."),
+                                        layers=clip_text_layers),
+        "gen_img": port_masked_decoder(sub("gen_img."), depth=gen_depth),
+        "logit_scale": _np(sd["logit_scale"]).reshape(()),
+    }
+    # clip_proj: MAPBlock under latent_proj (ref ClipStyleProjection style 'map')
+    cp = sub("clip_proj.latent_proj.")
+    if cp:
+        params["clip_proj"] = {"latent_proj": {
+            "latents": _np(cp["latents"]),
+            "projection": {"kernel": _np(cp["projection.weight"]).T,
+                           "bias": _np(cp["projection.bias"])},
+            "attn_norm": {"g": _np(cp["attn_norm.g"])},
+            "attn": {"q": {"kernel": _np(cp["attn.q.weight"]).T},
+                     "kv": {"kernel": _np(cp["attn.kv.weight"]).T},
+                     "proj": {"kernel": _np(cp["attn.proj.weight"]).T,
+                              "bias": _np(cp["attn.proj.bias"])}},
+            "mlp_norm": {"g": _np(cp["mlp_norm.g"])},
+            "mlp_glu": {"project": {"kernel": _np(cp["mlp.0.project.weight"]).T,
+                                    "bias": _np(cp["mlp.0.project.bias"])}},
+            "mlp_out": {"kernel": _np(cp["mlp.1.weight"]).T,
+                        "bias": _np(cp["mlp.1.bias"])},
+        }}
+    # img_encoder (Voltron backbone) layout depends on the voltron package;
+    # ported best-effort when present
+    ve = sub("img_encoder.vcond.")
+    if ve:
+        try:
+            n_blocks = 1 + max(int(k.split(".")[1]) for k in ve if k.startswith("blocks."))
+            enc: Dict = {
+                "patch_embed": {"proj": _conv_nhwc(ve, "patch2embed.proj")},
+                "norm": _ln(ve, "encoder_norm"),
+            }
+            for i in range(n_blocks):
+                enc[f"block_{i}"] = _voltron_block(ve, f"blocks.{i}")
+            params["img_encoder"] = enc
+        except (KeyError, ValueError):
+            pass  # leave random-init; caller can port manually
+    return params

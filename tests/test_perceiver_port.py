@@ -1,0 +1,62 @@
+"""Perceiver-resampler porting parity against the reference implementation
+(loaded with a stubbed einops_exts)."""
+
+import importlib.util
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REF = Path("/root/reference")
+
+
+@pytest.fixture(scope="module")
+def ref_perceiver():
+    if not REF.exists():
+        pytest.skip("reference not mounted")
+    sys.path.insert(0, str(REF))
+    if "einops_exts" not in sys.modules:
+        from einops import rearrange
+        ee = types.ModuleType("einops_exts")
+        ee.rearrange_many = lambda xs, *a, **k: [rearrange(x, *a, **k) for x in xs]
+        sys.modules["einops_exts"] = ee
+    # satisfy the module's relative import of `.utils`
+    pkg = "ref_perceiver_pkg"
+    pkg_mod = types.ModuleType(pkg)
+    pkg_mod.__path__ = [str(REF / "mdt/models/networks/transformers")]
+    sys.modules[pkg] = pkg_mod
+    spec_u = importlib.util.spec_from_file_location(
+        f"{pkg}.utils", REF / "mdt/models/networks/transformers/utils.py")
+    utils_mod = importlib.util.module_from_spec(spec_u)
+    sys.modules[f"{pkg}.utils"] = utils_mod
+    spec_u.loader.exec_module(utils_mod)
+    spec = importlib.util.spec_from_file_location(
+        f"{pkg}.perceiver_resampler",
+        REF / "mdt/models/networks/transformers/perceiver_resampler.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[f"{pkg}.perceiver_resampler"] = mod
+    spec.loader.exec_module(mod)
+    return mod.PerceiverResampler
+
+
+def test_perceiver_parity(ref_perceiver):
+    import torch
+    import jax.numpy as jnp
+    from mdt_policy_tpu.models.perceiver import PerceiverResampler
+    from mdt_policy_tpu.utils.torch_port import port_perceiver
+
+    torch.manual_seed(0)
+    kw = dict(dim=48, depth=3, dim_head=16, heads=4, num_latents=3,
+              num_time_embeds=1)
+    ref = ref_perceiver(**kw).eval()
+    ours = PerceiverResampler(**kw)
+    params = port_perceiver(ref.state_dict(), depth=3)
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 1, 17, 48)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(x)).numpy()
+    our_out = np.asarray(ours.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(our_out, ref_out, rtol=1e-4, atol=1e-5)
