@@ -133,11 +133,11 @@ def _synthetic_batch(rng: np.random.Generator, B: int, data_cfg: DataConfig,
     return {"vis": scope(), "lang": scope()}
 
 
-def _real_loaders(cfg: RunConfig):
+def _real_loaders(cfg: RunConfig, split: str = "training"):
     from mdt_policy_tpu.data import BatchLoader, CalvinDataset, DualStreamLoader
     from mdt_policy_tpu.utils.clip_tokenizer import tokenize
 
-    root = Path(cfg.data.root_data_dir) / "training"
+    root = Path(cfg.data.root_data_dir) / split
     kw = dict(lang_folder=cfg.data.lang_folder,
               obs_seq_len=cfg.data.obs_seq_len,
               action_seq_len=cfg.data.action_seq_len,
@@ -175,14 +175,19 @@ def train(cfg: RunConfig):
     rng = jax.random.PRNGKey(cfg.trainer.seed)
 
     synthetic = cfg.data.root_data_dir is None
+    val_iter = None
     if synthetic:
         logger.warning("no root_data_dir configured: SYNTHETIC data mode")
         loader = None
         raw_batch = _synthetic_batch(np_rng, cfg.trainer.batch_size, cfg.data,
                                      agent_cfg)
     else:
-        loader = _real_loaders(cfg)
+        loader = _real_loaders(cfg, "training")
         raw_batch = next(iter(loader))
+        val_root = Path(cfg.data.root_data_dir) / "validation"
+        if val_root.exists():
+            val_loader = _real_loaders(cfg, "validation")
+            val_iter = iter(val_loader)
 
     pp = Preprocessor(static_size=agent_cfg.img_size,
                       gripper_size=min(84, agent_cfg.img_size),
@@ -243,10 +248,20 @@ def train(cfg: RunConfig):
                     mlog.log(rollout_metrics, step + 1)
                     ckpt.save(state, metric=rollout_metrics["eval_lh/avg_seq_len"])
             if jitted_val is not None:
+                # validate on the validation split when available (the
+                # reference's limit_val_batches=4 on EMA weights); synthetic
+                # mode reuses the current train batch as a smoke check
                 val_metrics: Dict[str, float] = {}
                 for vb in range(cfg.trainer.limit_val_batches):
-                    rng, k_v = jax.random.split(rng)
-                    vm = jitted_val(state.ema_params, batch, k_v)
+                    rng, k_v, k_vp = jax.random.split(rng, 3)
+                    if val_iter is not None:
+                        vraw = next(val_iter)
+                        vbatch = {s: pp.train_batch(jax.random.fold_in(k_vp, i), b)
+                                  for i, (s, b) in enumerate(sorted(vraw.items()))}
+                        vbatch = {s: shard_batch(b, mesh) for s, b in vbatch.items()}
+                    else:
+                        vbatch = batch
+                    vm = jitted_val(state.ema_params, vbatch, k_v)
                     for k, v in jax.device_get(vm).items():
                         val_metrics[k] = val_metrics.get(k, 0.0) + float(v)
                 val_metrics = {k: v / cfg.trainer.limit_val_batches
