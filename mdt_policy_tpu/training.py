@@ -133,7 +133,7 @@ def _synthetic_batch(rng: np.random.Generator, B: int, data_cfg: DataConfig,
     return {"vis": scope(), "lang": scope()}
 
 
-def _real_loaders(cfg: RunConfig, split: str = "training"):
+def _real_loaders(cfg: RunConfig, split: str = "training", context_length: int = 77):
     from mdt_policy_tpu.data import BatchLoader, CalvinDataset, DualStreamLoader
     from mdt_policy_tpu.utils.clip_tokenizer import tokenize
 
@@ -151,7 +151,8 @@ def _real_loaders(cfg: RunConfig, split: str = "training"):
     vis = BatchLoader(CalvinDataset(root, key="vis", **kw), cfg.trainer.batch_size,
                       seed=cfg.trainer.seed)
     lang = BatchLoader(CalvinDataset(root, key="lang", **kw), cfg.trainer.batch_size,
-                       seed=cfg.trainer.seed + 1, tokenizer=tok)
+                       seed=cfg.trainer.seed + 1, tokenizer=tok,
+                       context_length=context_length)
     return DualStreamLoader(vis, lang)
 
 
@@ -182,11 +183,11 @@ def train(cfg: RunConfig):
         raw_batch = _synthetic_batch(np_rng, cfg.trainer.batch_size, cfg.data,
                                      agent_cfg)
     else:
-        loader = _real_loaders(cfg, "training")
+        loader = _real_loaders(cfg, "training", agent_cfg.clip_context_length)
         raw_batch = next(iter(loader))
         val_root = Path(cfg.data.root_data_dir) / "validation"
         if val_root.exists():
-            val_loader = _real_loaders(cfg, "validation")
+            val_loader = _real_loaders(cfg, "validation", agent_cfg.clip_context_length)
             val_iter = iter(val_loader)
 
     pp = Preprocessor(static_size=agent_cfg.img_size,
