@@ -178,8 +178,11 @@ class MDTAgentNet(nn.Module):
         img_gen_loss = self.gen_img.compute_loss(goal_imgs, recon, mask)
 
         if modality == "lang":
-            vis_context = self.encode_context(perceptual_emb, image_latent_goal,
-                                              sigmas, modality="lang", train=train)
+            # clip_extra_forward path IS modality-aware in MDT
+            # (mdt_transformer.py:280-285); the main path above is not
+            vis_context = self.inner.encode(
+                perceptual_emb, image_latent_goal, sigmas, modality="lang",
+                train=train, modality_embed=True)
             lang_embed = self.clip_proj(context)
             vis_embed = self.clip_proj(vis_context)
             cont_loss = self.clip_auxiliary_loss(vis_embed, lang_embed)

@@ -124,8 +124,14 @@ class MDTTransformer(nn.Module):
         return jnp.stack([static, gripper], axis=2).reshape(B, 2 * T, self.embed_dim)
 
     def encode(self, states: Dict[str, jax.Array], goals: jax.Array, sigma,
-               *, modality: str = "vis", train: bool = False, uncond: bool = False):
-        """(ref enc_only_forward, :211-229)."""
+               *, modality: str = "vis", train: bool = False, uncond: bool = False,
+               modality_embed: bool = False):
+        """(ref enc_only_forward, :211-229).
+
+        Reference quirk preserved: the MAIN forward path embeds the goal with
+        `goal_emb` regardless of modality (mdt_transformer.py:215), while the
+        `forward_enc_only` variant used by clip_extra_forward IS
+        modality-aware (:257-285). `modality_embed=True` selects the latter."""
         B, T = states["static"].shape[0], states["static"].shape[1]
         goals = self._preprocess_goals(goals, T, train=train, uncond=uncond)
         state_embed = self._state_tokens(states)
@@ -134,7 +140,7 @@ class MDTTransformer(nn.Module):
         goal_embed = self.goal_emb(goals)
         if self.use_modality_encoder:
             lang_embed = self.lang_emb(goals)
-            if modality == "lang":
+            if modality_embed and modality == "lang":
                 goal_embed = lang_embed
         det = not train
         if self.use_abs_pos_emb:

@@ -150,3 +150,48 @@ def test_full_denoised_chunk_parity(ref_module):
 
     x_ours = np.asarray(sample_ddim(denoise_fn, jnp.asarray(x0), sigmas))
     np.testing.assert_allclose(x_ours, x_ref, rtol=1e-3, atol=1e-3)
+
+
+def test_mdt_transformer_parity(ref_module):
+    """Same activation-parity check for the MDT (ResNet-variant) denoiser."""
+    import torch
+    import jax, jax.numpy as jnp
+    from mdt.models.networks.mdt_transformer import MDTTransformer as RefMDT
+    from mdt_policy_tpu.models import MDTTransformer
+    from mdt_policy_tpu.utils.torch_port import port_mdt_transformer
+
+    torch.manual_seed(2)
+    kw = dict(obs_dim=48, goal_dim=24, action_dim=7, embed_dim=48,
+              n_dec_layers=2, n_enc_layers=2, n_heads=4, goal_seq_len=1,
+              obs_seq_len=1, action_seq_len=10)
+    ref = RefMDT(device="cpu", goal_conditioned=True, embed_pdrob=0,
+                 attn_pdrop=0.0, resid_pdrop=0.0, mlp_pdrop=0.0, goal_drop=0,
+                 bias=False, use_mlp_goal=True, use_ada_conditioning=True,
+                 use_noise_encoder=False, use_modality_encoder=True, **kw)
+    ref.eval()
+    ours = MDTTransformer(embed_pdrob=0.0, attn_pdrop=0.0, resid_pdrop=0.0,
+                          mlp_pdrop=0.0, goal_drop=0.0, bias=False,
+                          use_ada_conditioning=True, use_modality_encoder=True,
+                          use_mlp_goal=True, **kw)
+    params = port_mdt_transformer(ref.state_dict(), n_enc_layers=2, n_dec_layers=2)
+
+    rng = np.random.default_rng(5)
+    B = 3
+    states_np = {"static": rng.normal(size=(B, 1, 48)).astype(np.float32),
+                 "gripper": rng.normal(size=(B, 1, 48)).astype(np.float32)}
+    actions = rng.normal(size=(B, 10, 7)).astype(np.float32)
+    goals = rng.normal(size=(B, 1, 24)).astype(np.float32)
+    sigma = rng.uniform(0.01, 5.0, size=(B,)).astype(np.float32)
+
+    import torch as th
+    with th.no_grad():
+        t_states = {k: th.tensor(v) for k, v in states_np.items()}
+        t_states["modality"] = "lang"
+        ref_out = ref(t_states, th.tensor(actions), th.tensor(goals),
+                      th.tensor(sigma)).numpy()
+
+    pred, _ = ours.apply({"params": params},
+                         {k: jnp.asarray(v) for k, v in states_np.items()},
+                         jnp.asarray(actions), jnp.asarray(goals),
+                         jnp.asarray(sigma), modality="lang", train=False)
+    np.testing.assert_allclose(np.asarray(pred), ref_out, rtol=1e-4, atol=5e-5)
