@@ -150,3 +150,40 @@ class MaskedTransformerImgDecoder(nn.Module):
         zero_loss = jnp.sum(zero_per_patch * mask) / denom
         k_loss = jnp.sum(k_per_patch * mask) / denom
         return (zero_loss + k_loss) / 2
+
+
+def reconstruct_images(decoder: "MaskedTransformerImgDecoder",
+                       predictions, goal_images, mask, file_path=None):
+    """Visualize reconstructions: masked patches replaced by predictions,
+    visible patches kept from the target (ref reconstruct_image,
+    masked_transformer_decoder.py:304-373). Host-side numpy + PIL.
+
+    predictions: (B, num_images, n_patches, ph*pw*C); goal_images:
+    (B, num_images, H, W, C) CLIP-normalized; mask: (B, n_patches), 1=masked.
+    Returns the PIL image (saved to file_path when given).
+    """
+    import numpy as np
+    from PIL import Image
+    from mdt_policy_tpu.models.clip import CLIP_IMAGE_MEAN, CLIP_IMAGE_STD
+
+    preds = np.asarray(predictions, np.float32)
+    targets = np.asarray(decoder.patchify(jnp.asarray(goal_images)), np.float32)
+    mask_np = np.asarray(mask)
+    B, n_img, n_patches, d = preds.shape
+    ph = pw = decoder.patch_size
+    grid = decoder.resolution // decoder.patch_size
+    c = decoder.in_channels
+
+    tiles = []
+    for img_idx in range(n_img):
+        combined = targets[0, img_idx].copy()
+        combined[mask_np[0] == 1] = preds[0, img_idx][mask_np[0] == 1]
+        img = combined.reshape(grid, grid, ph, pw, c)
+        img = img.transpose(0, 2, 1, 3, 4).reshape(grid * ph, grid * pw, c)
+        img = img * np.asarray(CLIP_IMAGE_STD) + np.asarray(CLIP_IMAGE_MEAN)
+        tiles.append(np.clip(img, 0, 1))
+    out = (np.concatenate(tiles, axis=1) * 255).astype(np.uint8)
+    pil = Image.fromarray(out)
+    if file_path is not None:
+        pil.save(file_path)
+    return pil
