@@ -385,3 +385,79 @@ def port_mdtv_agent(sd: Mapping, *, n_enc_layers: int = 4, n_dec_layers: int = 4
         except (KeyError, ValueError):
             pass  # leave random-init; caller can port manually
     return params
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint-file conversion CLI
+# ---------------------------------------------------------------------------
+
+def load_reference_state_dict(ckpt_path, *, prefer_ema: bool = True) -> Dict:
+    """Load a reference Lightning checkpoint and return a flat state_dict.
+
+    The published `mdtv-*` checkpoints store EMA weights as a LIST in
+    callback state ordered like named_parameters (ref
+    mdt/models/mdtv_agent.py:145-162, mdt/callbacks/ema.py:144-153); when
+    present (and prefer_ema), the list is zipped back onto the state_dict
+    keys the same way load_pretrained_parameters does.
+    """
+    import torch
+
+    data = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    sd = data["state_dict"] if "state_dict" in data else data
+    ema = None
+    try:
+        ema = data["callbacks"]["EMA"]["ema_weights"]
+    except (KeyError, TypeError):
+        pass
+    if prefer_ema and ema is not None:
+        sd = dict(zip(sd.keys(), ema))
+    return {k: _np(v) for k, v in sd.items()}
+
+
+def convert_checkpoint(ckpt_path, out_dir, *, agent: str = "mdtv",
+                       prefer_ema: bool = True):
+    """Reference .ckpt -> our param tree, merged over a fresh init (so
+    components absent from the checkpoint — e.g. the external Voltron
+    backbone — keep their init), saved with utils.checkpoint.Checkpointer."""
+    import jax
+    import numpy as np
+    from mdt_policy_tpu.agents import MDTVConfig, init_agent
+    from mdt_policy_tpu.utils.checkpoint import Checkpointer
+
+    sd = load_reference_state_dict(ckpt_path, prefer_ema=prefer_ema)
+    cfg = MDTVConfig()
+    example = {
+        "rgb_static": np.zeros((1, 2, cfg.img_size, cfg.img_size, 3), np.float32),
+        "rgb_gripper": np.zeros((1, 2, cfg.img_size, cfg.img_size, 3), np.float32),
+        "gen_static": np.zeros((1, cfg.gen_img_res, cfg.gen_img_res, 3), np.float32),
+        "gen_gripper": np.zeros((1, cfg.gen_img_res, cfg.gen_img_res, 3), np.float32),
+        "actions": np.zeros((1, cfg.act_window_size, cfg.action_dim), np.float32),
+        "lang_tokens": np.zeros((1, cfg.clip_context_length), np.int32),
+    }
+    net, state = init_agent(cfg, jax.random.PRNGKey(0), example)
+    ported = port_mdtv_agent(sd)
+    merged = dict(state.params)
+    for k, v in ported.items():
+        merged[k] = v
+    state = state.replace(params=merged,
+                          ema_params=jax.tree.map(lambda x: x, merged))
+    Checkpointer(out_dir).save(state)
+    return out_dir
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Convert a reference MDT-V PyTorch checkpoint to an "
+                    "mdt_policy_tpu orbax checkpoint.")
+    ap.add_argument("ckpt", help="reference .ckpt path")
+    ap.add_argument("out", help="output checkpoint directory")
+    ap.add_argument("--raw", action="store_true",
+                    help="use raw weights instead of EMA")
+    args = ap.parse_args()
+    convert_checkpoint(args.ckpt, args.out, prefer_ema=not args.raw)
+
+
+if __name__ == "__main__":
+    main()
