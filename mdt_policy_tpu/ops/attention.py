@@ -42,7 +42,7 @@ def sdpa(
             and q.shape[-2] <= 32:
         from .pallas_attention import pallas_enabled, small_seq_mha
         if pallas_enabled() and jax.default_backend() == "tpu":
-            return small_seq_mha(q, k, v, causal=causal)
+            return small_seq_mha(q, k, v, causal)
     *_, q_len, head_dim = q.shape
     k_len = k.shape[-2]
     scale = head_dim ** -0.5

@@ -61,12 +61,48 @@ def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, t_real: int, causal: bool):
     o_ref[:] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("causal", "block_rows", "interpret"))
-def small_seq_mha(q: jax.Array, k: jax.Array, v: jax.Array, *,
+def _sdpa_reference(q, k, v, causal):
+    """XLA einsum attention — the backward path for the custom VJP."""
+    scale = q.shape[-1] ** -0.5
+    scores = jnp.einsum("...qd,...kd->...qk", q, k).astype(jnp.float32) * scale
+    if causal:
+        T = q.shape[-2]
+        cm = jnp.tril(jnp.ones((T, T), bool))
+        scores = jnp.where(cm, scores, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum("...qk,...kd->...qd", probs, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def small_seq_mha(q: jax.Array, k: jax.Array, v: jax.Array,
                   causal: bool = False, block_rows: int = 16,
                   interpret: bool = False) -> jax.Array:
     """Fused attention over (B, H, T, D) with T == key length (self-attn).
-    Scale = D^-0.5 applied to q up front (so padding D doesn't change it)."""
+    Scale = D^-0.5 applied to q up front (so padding D doesn't change it).
+
+    Differentiable: forward runs the Pallas kernel; backward differentiates
+    the XLA reference (identical math) — the standard custom-VJP pattern for
+    Pallas forwards (pallas guide, Patterns: Custom VJP)."""
+    return _small_seq_mha_impl(q, k, v, causal, block_rows, interpret)
+
+
+def _small_seq_mha_fwd(q, k, v, causal, block_rows, interpret):
+    return _small_seq_mha_impl(q, k, v, causal, block_rows, interpret), (q, k, v)
+
+
+def _small_seq_mha_bwd(causal, block_rows, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _sdpa_reference(q_, k_, v_, causal), q, k, v)
+    return vjp(g)
+
+
+small_seq_mha.defvjp(_small_seq_mha_fwd, _small_seq_mha_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "block_rows", "interpret"))
+def _small_seq_mha_impl(q: jax.Array, k: jax.Array, v: jax.Array,
+                        causal: bool = False, block_rows: int = 16,
+                        interpret: bool = False) -> jax.Array:
     B, H, T, D = q.shape
     assert k.shape == v.shape == (B, H, T, D), "self-attention shapes only"
     scale = D ** -0.5

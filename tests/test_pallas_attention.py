@@ -21,7 +21,7 @@ def test_matches_sdpa(B, H, T, D, causal):
     q, k, v = (jnp.asarray(rng.normal(size=(B, H, T, D)).astype("float32"))
                for _ in range(3))
     ref = np.asarray(sdpa(q, k, v, causal=causal))
-    out = np.asarray(small_seq_mha(q, k, v, causal=causal, interpret=True))
+    out = np.asarray(small_seq_mha(q, k, v, causal, 16, True))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
 
@@ -30,6 +30,6 @@ def test_bf16_inputs():
     q, k, v = (jnp.asarray(rng.normal(size=(2, 4, 10, 48)), jnp.bfloat16)
                for _ in range(3))
     ref = np.asarray(sdpa(q, k, v, causal=True)).astype(np.float32)
-    out = np.asarray(small_seq_mha(q, k, v, causal=True, interpret=True)
+    out = np.asarray(small_seq_mha(q, k, v, True, 16, True)
                      ).astype(np.float32)
     np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
