@@ -398,14 +398,23 @@ def denoise_actions(
         latent_goal = latent_goal[:, None, :]
     B = latent_goal.shape[0]
 
-    # context hoisted out of the sampling loop
-    context = net.apply({"params": params}, perceptual_emb, latent_goal,
-                        jnp.full((B,), float(sigmas[0])), modality=modality,
-                        train=False, method="encode_context")
+    def encode(sigma_b):
+        return net.apply({"params": params}, perceptual_emb, latent_goal,
+                         sigma_b, modality=modality, train=False,
+                         method="encode_context")
+
+    # With AdaLN conditioning (production default) the encoder never consumes
+    # sigma, so the context is hoisted out of the sampling loop — unlike the
+    # reference, which re-encodes every step (SURVEY §3.2). When the encoder
+    # DOES see sigma (sigma-token or noise-encoder configs), re-encode per
+    # step for exactness.
+    hoist_context = cfg.use_ada_conditioning and not cfg.use_noise_encoder
+    context = encode(jnp.full((B,), float(sigmas[0]))) if hoist_context else None
 
     def denoise_fn(x, sigma):
         sigma_b = jnp.broadcast_to(jnp.asarray(sigma, x.dtype), (B,))
-        inner = lambda xin, s: net.apply({"params": params}, context, xin, s,
+        ctx = context if hoist_context else encode(sigma_b)
+        inner = lambda xin, s: net.apply({"params": params}, ctx, xin, s,
                                          train=False, method="decode_actions")
         return precond_denoise(inner, x, sigma_b, cfg.sigma_data)
 
@@ -413,6 +422,8 @@ def denoise_actions(
     x = jax.random.normal(k_init, (B, cfg.act_window_size, cfg.action_dim)) * smax
     actions = sample_loop(sampler_type, denoise_fn, x, sigmas, key=k_samp)
     if return_context:
+        if context is None:
+            context = encode(jnp.full((B,), float(sigmas[0])))
         return actions, context
     return actions
 
@@ -469,10 +480,18 @@ class MDTVPolicy:
         self.net = net
         self.params = params
         self.cfg = net.cfg
+        if self.cfg.multistep > self.cfg.act_window_size:
+            # a larger re-plan period would silently replay the last chunk
+            # action (JAX clamps out-of-bounds indices)
+            raise ValueError(
+                f"multistep={self.cfg.multistep} exceeds "
+                f"act_window_size={self.cfg.act_window_size}")
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
         self.rollout_step_counter = 0
         self.pred_action_seq = None
         self._predict = jax.jit(partial(self._predict_impl, **sampler_overrides))
+        self._predict_emb = jax.jit(partial(self._predict_emb_impl,
+                                            **sampler_overrides))
 
     def _predict_impl(self, params, rgb_static, rgb_gripper, lang_tokens, rng,
                       **overrides):
@@ -483,18 +502,34 @@ class MDTVPolicy:
         return denoise_actions(self.net, params, emb, latent_goal, rng,
                                modality="lang", **overrides)
 
+    def _predict_emb_impl(self, params, rgb_static, rgb_gripper, lang_emb, rng,
+                          **overrides):
+        """Precomputed language-goal embedding path (the reference's
+        use_text_not_embedding=False branch, mdtv_agent.py:693-698): the
+        stored embedding IS the latent goal; the CLIP text tower is skipped."""
+        emb = self.net.apply({"params": params}, rgb_static, rgb_gripper,
+                             method="perceive")
+        return denoise_actions(self.net, params, emb, lang_emb, rng,
+                               modality="lang", **overrides)
+
     def reset(self):
         self.rollout_step_counter = 0
         self.pred_action_seq = None
 
     def step(self, obs: Dict[str, jax.Array], goal: Dict[str, jax.Array]):
         """obs: {'rgb_static': (B,T,H,W,3), 'rgb_gripper': ...};
-        goal: {'lang_tokens': (B,77)}. Returns the current 7-DoF action."""
+        goal: {'lang_tokens': (B,77)} or {'lang': (B,512) precomputed emb}.
+        Returns the current 7-DoF action."""
         if self.rollout_step_counter % self.cfg.multistep == 0:
             self.rng, k = jax.random.split(self.rng)
-            self.pred_action_seq = self._predict(
-                self.params, obs["rgb_static"], obs["rgb_gripper"],
-                goal["lang_tokens"], k)
+            if "lang_tokens" in goal:
+                self.pred_action_seq = self._predict(
+                    self.params, obs["rgb_static"], obs["rgb_gripper"],
+                    goal["lang_tokens"], k)
+            else:
+                lang = jnp.atleast_2d(jnp.asarray(goal["lang"]))
+                self.pred_action_seq = self._predict_emb(
+                    self.params, obs["rgb_static"], obs["rgb_gripper"], lang, k)
         action = self.pred_action_seq[:, self.rollout_step_counter % self.cfg.multistep]
         self.rollout_step_counter += 1
         if self.rollout_step_counter == self.cfg.multistep:

@@ -5,10 +5,18 @@
         --dataset-path /data/task_D_D/validation \
         --sampler ddim --steps 10 --sigma-min 0.001 --sigma-max 80
 
-* re-reads the training run's config (the run dir is the source of truth,
-  ref evaluation/utils.py:159-163), restores the BEST checkpoint's EMA
-  weights (ref :92-103), applies eval-time sampler overrides
-  (conf/mdt_evaluate.yaml:27-35),
+* re-reads the training run's FULL config snapshot (the run dir is the source
+  of truth, ref evaluation/utils.py:159-163) and instantiates whichever agent
+  it names (mdt or mdtv, ref evaluation/utils.py:64-106),
+* restores the BEST checkpoint's EMA weights (ref :92-103), applies eval-time
+  sampler overrides (conf/mdt_evaluate.yaml:27-35),
+* evaluates every subtask with its reference VALIDATION annotation sentence
+  (conf/annotations/new_playtable_validation.yaml; synthesized task-name text
+  would shift the goal distribution) — either tokenized for the in-program
+  CLIP text tower or, with --use-embeddings, looked up from the dataset's
+  precomputed embeddings.npy (LangEmbeddings, ref evaluation/utils.py:219-240),
+* builds the task oracle from the vendored symbolic task definitions
+  (conf/callbacks/rollout/tasks/new_playtable_tasks.yaml),
 * runs the 1000-chain benchmark against calvin_env (or `--fake-env` for a
   sim-free smoke run), writes results.json (ref print_and_save).
 """
@@ -26,25 +34,38 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
+def load_run_config(train_folder):
+    """Re-hydrate the training run's config snapshot (ref the .hydra/config.yaml
+    re-read, evaluation/utils.py:159-163). Falls back to defaults when the run
+    predates snapshots."""
+    from mdt_policy_tpu.training import load_config
+
+    cfg_file = Path(train_folder) / "config.yaml"
+    return load_config(str(cfg_file) if cfg_file.exists() else None, [])
+
+
 def build_policy(train_folder: str, *, sampler_type=None, num_sampling_steps=None,
                  sigma_min=None, sigma_max=None, noise_scheduler=None,
                  multistep=None, use_ema: bool = True):
-    """Restore agent + EMA params from a training run dir and wrap as a
-    rollout policy with sampler overrides."""
+    """Restore the run's agent (mdt or mdtv, per its config snapshot) + EMA
+    params and wrap as a rollout policy with sampler overrides."""
     import jax
-    import yaml
-    from mdt_policy_tpu.agents import MDTVConfig, init_agent
-    from mdt_policy_tpu.agents.mdtv_agent import MDTVPolicy
-    from mdt_policy_tpu.training import RunConfig, load_config, _synthetic_batch, DataConfig
+    from mdt_policy_tpu.agents import (MDTConfig, MDTVConfig, MDTVPolicy,
+                                       init_agent, init_mdt_agent)
     from mdt_policy_tpu.utils.checkpoint import Checkpointer
     from mdt_policy_tpu.data.loader import Preprocessor
 
     train_folder = Path(train_folder)
-    cfg_file = train_folder / "config.yaml"
-    overrides = {}
-    if cfg_file.exists():
-        overrides = (yaml.safe_load(cfg_file.read_text()) or {}).get("agent_overrides", {})
-    agent_cfg = MDTVConfig(**overrides)
+    run_cfg = load_run_config(train_folder)
+    # agent selection from the run config (ref load_pl_module_from_checkpoint
+    # instantiates whatever _target_ the run names, evaluation/utils.py:64-106)
+    if run_cfg.agent == "mdt":
+        agent_cfg, init = MDTConfig(**run_cfg.agent_overrides), init_mdt_agent
+    elif run_cfg.agent == "mdtv":
+        agent_cfg, init = MDTVConfig(**run_cfg.agent_overrides), init_agent
+    else:
+        raise ValueError(f"unknown agent {run_cfg.agent!r} in run config")
+
     # eval-time sampler overrides (ref mdt_evaluate.py:247-256)
     replace = {}
     if sampler_type: replace["sampler_type"] = sampler_type
@@ -55,7 +76,6 @@ def build_policy(train_folder: str, *, sampler_type=None, num_sampling_steps=Non
     if multistep: replace["multistep"] = multistep
     agent_cfg = dataclasses.replace(agent_cfg, **replace)
 
-    rng = np.random.default_rng(0)
     example = {
         "rgb_static": np.zeros((1, 2, agent_cfg.img_size, agent_cfg.img_size, 3), np.float32),
         "rgb_gripper": np.zeros((1, 2, agent_cfg.img_size, agent_cfg.img_size, 3), np.float32),
@@ -64,12 +84,12 @@ def build_policy(train_folder: str, *, sampler_type=None, num_sampling_steps=Non
         "actions": np.zeros((1, agent_cfg.act_window_size, agent_cfg.action_dim), np.float32),
         "lang_tokens": np.zeros((1, agent_cfg.clip_context_length), np.int32),
     }
-    net, state = init_agent(agent_cfg, __import__("jax").random.PRNGKey(0), example)
+    net, state = init(agent_cfg, jax.random.PRNGKey(0), example)
     ck = Checkpointer(train_folder / "checkpoints")
     step = ck.best_step()
     state = ck.restore(state, step=step)
     params = state.ema_params if use_ema else state.params
-    logger.info("restored %s weights from step %s",
+    logger.info("restored %s agent, %s weights from step %s", run_cfg.agent,
                 "EMA" if use_ema else "raw", int(state.step))
     pp = Preprocessor(static_size=agent_cfg.img_size,
                       gripper_size=min(84, agent_cfg.img_size),
@@ -92,10 +112,10 @@ def build_policy(train_folder: str, *, sampler_type=None, num_sampling_steps=Non
                  "rgb_gripper": batch["rgb_gripper"]},
                 goal))
 
-    return PreprocessingPolicy(), agent_cfg
+    return PreprocessingPolicy(), agent_cfg, run_cfg
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--train-folder", required=True)
     ap.add_argument("--dataset-path", default=None, help="CALVIN validation dir")
@@ -108,15 +128,19 @@ def main():
     ap.add_argument("--noise-scheduler", default=None)
     ap.add_argument("--multistep", type=int, default=None)
     ap.add_argument("--no-ema", action="store_true")
+    ap.add_argument("--use-embeddings", action="store_true",
+                    help="goal = precomputed embeddings.npy lookup instead of "
+                         "in-program CLIP text encoding (the reference's "
+                         "use_text_not_embedding=False path)")
     ap.add_argument("--fake-env", action="store_true",
                     help="protocol smoke run without PyBullet")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
     from mdt_policy_tpu.evaluation import evaluate_policy, print_and_save
-    from mdt_policy_tpu.utils.clip_tokenizer import tokenize
+    from mdt_policy_tpu.evaluation.annotations import make_goal_fn, make_task_oracle
 
-    policy, agent_cfg = build_policy(
+    policy, agent_cfg, run_cfg = build_policy(
         args.train_folder, sampler_type=args.sampler,
         num_sampling_steps=args.steps, sigma_min=args.sigma_min,
         sigma_max=args.sigma_max, noise_scheduler=args.noise_scheduler,
@@ -125,21 +149,21 @@ def main():
     if args.fake_env:
         from mdt_policy_tpu.evaluation.fake_env import FakeEnv, ScriptedOracle
         env, oracle = FakeEnv(img_hw=64), ScriptedOracle(default=10 ** 9)
-        annotations = {}
     else:
         from mdt_policy_tpu.evaluation.env_adapter import make_calvin_env
         env = make_calvin_env(args.dataset_path)
-        import importlib
-        tasks_mod = importlib.import_module("calvin_env.envs.tasks")
-        import yaml as _yaml
-        task_cfg = Path(args.dataset_path).parent / "training" / ".hydra"  # optional
-        oracle = tasks_mod.Tasks()  # default task definitions
-        annotations = {}
+        oracle = make_task_oracle()
 
-    def goal_fn(subtask: str):
-        text = annotations.get(subtask, [subtask.replace("_", " ")])[0]
-        return {"lang_tokens": tokenize(text, agent_cfg.clip_context_length),
-                "lang_text": text}
+    lang_embeddings = None
+    if args.use_embeddings:
+        from mdt_policy_tpu.evaluation.rollout import LangEmbeddings
+        if args.dataset_path is None:
+            raise SystemExit("--use-embeddings needs --dataset-path "
+                             "(embeddings.npy lives in the dataset)")
+        lang_embeddings = LangEmbeddings(args.dataset_path,
+                                         lang_folder=run_cfg.data.lang_folder)
+    goal_fn = make_goal_fn(agent_cfg.clip_context_length,
+                           lang_embeddings=lang_embeddings)
 
     results = evaluate_policy(policy, env, oracle, goal_fn,
                               num_sequences=args.num_sequences,

@@ -169,6 +169,12 @@ def train(cfg: RunConfig):
     run_name = cfg.run_name or time.strftime("%Y-%m-%d_%H-%M-%S")
     run_dir = Path(cfg.log_dir) / run_name
     mlog = MetricsLogger(run_dir, config=dataclasses.asdict(cfg))
+    # snapshot the full run config: the run dir is the source of truth that
+    # evaluation re-hydrates (the reference's .hydra/config.yaml contract,
+    # evaluation/utils.py:159-163)
+    import yaml as _yaml
+    run_dir.mkdir(parents=True, exist_ok=True)
+    (run_dir / "config.yaml").write_text(_yaml.safe_dump(dataclasses.asdict(cfg)))
     logger.info("run dir: %s | devices: %s", run_dir, jax.devices())
 
     agent_cfg = _make_agent(cfg)
@@ -286,23 +292,23 @@ def _maybe_rollout(cfg: RunConfig, net, state, epoch: int):
     if not (epoch > cfg.rollout.skip_epochs
             and (epoch - cfg.rollout.skip_epochs) % cfg.rollout.rollout_freq == 0):
         return None
+    # a mis-configured rollout must degrade to a warning, not kill the
+    # training run mid-epoch (env construction touches external calvin_env)
     try:
+        from mdt_policy_tpu.evaluation.annotations import make_task_oracle
         from mdt_policy_tpu.evaluation.env_adapter import make_calvin_env
         env = make_calvin_env(cfg.rollout.val_dataset_path)
-        import importlib
-        oracle = importlib.import_module("calvin_env.envs.tasks").Tasks()
-    except ImportError as e:
-        logger.warning("rollout skipped: %s", e)
+        oracle = make_task_oracle()
+    except Exception as e:
+        logger.warning("rollout skipped (env/oracle unavailable): %s", e)
         return None
     from mdt_policy_tpu.agents.mdtv_agent import MDTVPolicy
-    from mdt_policy_tpu.utils.clip_tokenizer import tokenize
+    from mdt_policy_tpu.evaluation.annotations import make_goal_fn
     agent_cfg = net.cfg
     policy = MDTVPolicy(net, state.ema_params)
-
-    def goal_fn(subtask):
-        text = subtask.replace("_", " ")
-        return {"lang_tokens": tokenize(text, agent_cfg.clip_context_length),
-                "lang_text": text}
+    # reference evaluates with the per-task VALIDATION sentence
+    # (rollout_long_horizon.py:129-138), never synthesized task-name text
+    goal_fn = make_goal_fn(agent_cfg.clip_context_length)
 
     cb = RolloutLongHorizonCallback(
         env, oracle, goal_fn, num_sequences=cfg.rollout.num_sequences,
