@@ -512,7 +512,7 @@ def sample_dpm_fast(
 SAMPLER_NAMES = (
     "ddim", "euler", "euler_ancestral", "heun", "dpm", "ancestral",
     "dpmpp_2m", "dpmpp_2s", "dpmpp_2s_ancestral", "dpmpp_2m_sde",
-    "dpmpp_2_with_lms", "lms", "dpm_fast",
+    "dpmpp_2_with_lms", "lms", "dpm_fast", "dpm_adaptive",
 )
 
 
@@ -556,6 +556,9 @@ def sample_loop(
         return sample_lms(denoise_fn, x, s, key=key)
     if sampler_type == "dpm_fast":
         return sample_dpm_fast(denoise_fn, x, float(s[-2]), float(s[0]), len(s), key=key)
+    if sampler_type == "dpm_adaptive":
+        # ref mdtv_agent.py:637-639: bounds from the schedule's endpoints
+        return sample_dpm_adaptive(denoise_fn, x, float(s[-2]), float(s[0]), key=key)
     raise ValueError(f"Unknown sampler type: {sampler_type!r}")
 
 

@@ -134,11 +134,11 @@ class Attention(nn.Module):
             rot = RotaryEmbedding(max(self.n_head // 2, 32),
                                   use_xpos=self.rotary_xpos, name="rotary")
             q, k = rot(q, k)
-        y = sdpa(q, k, v, causal=self.causal, mask=custom_attn_mask)
-        if self.attn_pdrop > 0:
-            # the reference drops attention *probabilities*; dropping the
-            # attention output rows is the jit-friendly equivalent used here
-            y = nn.Dropout(self.attn_pdrop)(y, deterministic=deterministic)
+        drop_active = self.attn_pdrop > 0 and not deterministic
+        y = sdpa(q, k, v, causal=self.causal, mask=custom_attn_mask,
+                 dropout_rate=self.attn_pdrop,
+                 dropout_rng=self.make_rng("dropout") if drop_active else None,
+                 deterministic=deterministic)
         y = y.transpose(0, 2, 1, 3).reshape(B, T, C)
         y = _dense(C, use_bias=self.bias, name="c_proj")(y)
         return nn.Dropout(self.resid_pdrop)(y, deterministic=deterministic)

@@ -30,16 +30,26 @@ def sdpa(
     *,
     mask: Optional[jax.Array] = None,
     causal: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
 ) -> jax.Array:
     """Attention over (B, H, T, D) tensors.
 
     mask: optional boolean array broadcastable to (B, H, Tq, Tk); True = keep.
 
+    dropout_rate/dropout_rng/deterministic: attention-PROBABILITY dropout,
+    exactly the reference's regularizer (transformer_blocks.py:95-100,140-142 —
+    torch inverted dropout on the post-softmax matrix): each prob is zeroed
+    with p=rate and survivors are rescaled by 1/(1-rate). Train-mode only;
+    requires an explicit rng.
+
     With MDT_TPU_PALLAS=1, small self-attention shapes route to the fused
-    Pallas kernel (ops/pallas_attention.py).
+    Pallas kernel (ops/pallas_attention.py) when no dropout is active.
     """
-    if mask is None and q.ndim == 4 and q.shape == k.shape == v.shape \
-            and q.shape[-2] <= 32:
+    drop_active = dropout_rate > 0.0 and not deterministic
+    if mask is None and not drop_active and q.ndim == 4 \
+            and q.shape == k.shape == v.shape and q.shape[-2] <= 32:
         from .pallas_attention import pallas_enabled, small_seq_mha
         if pallas_enabled() and jax.default_backend() == "tpu":
             return small_seq_mha(q, k, v, causal)
@@ -53,4 +63,9 @@ def sdpa(
     if mask is not None:
         scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    if drop_active:
+        if dropout_rng is None:
+            raise ValueError("sdpa dropout needs an explicit dropout_rng")
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0).astype(q.dtype)
     return jnp.einsum("...qk,...kd->...qd", probs, v)

@@ -32,10 +32,11 @@ __all__ = ["SimpleTokenizer", "tokenize", "default_bpe_path"]
 
 
 def default_bpe_path() -> Path:
+    """OpenAI's published CLIP BPE merges table, vendored as package data so
+    the framework is self-contained (MDT_TPU_BPE_PATH overrides)."""
     env = os.environ.get("MDT_TPU_BPE_PATH")
     candidates = ([Path(env)] if env else []) + [
         Path(__file__).resolve().parent / "bpe_simple_vocab_16e6.txt.gz",
-        Path("/root/reference/mdt/utils/bpe_simple_vocab_16e6.txt.gz"),
     ]
     for c in candidates:
         if c.exists():

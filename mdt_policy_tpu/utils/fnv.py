@@ -87,13 +87,10 @@ def _build_native() -> bool:
 
 
 def _load():
-    try:
-        from mdt_policy_tpu.native import _fnv_native  # already built
-        return _fnv_native
-    except ImportError:
-        pass
     if os.environ.get("MDT_TPU_NO_NATIVE"):
         return None
+    # freshness check FIRST: a stale binary must never shadow fnv_native.c
+    # (the extension is build-on-first-use and not under version control)
     if _build_native():
         try:
             from mdt_policy_tpu.native import _fnv_native

@@ -83,6 +83,31 @@ class TestBlockNumerics:
         ref = F.scaled_dot_product_attention(*map(torch.tensor, (q, k, v))).numpy()
         np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
 
+    def test_sdpa_probability_dropout(self):
+        """Attention-PROBABILITY dropout (ref transformer_blocks.py:95-100):
+        with v = identity the output rows ARE the prob rows, so dropped probs
+        show as exact zeros and survivors as det/(1-p)-rescaled values."""
+        B, H, T = 2, 3, 8
+        rng = np.random.default_rng(3)
+        q = jnp.asarray(rng.normal(size=(B, H, T, T)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(B, H, T, T)), jnp.float32)
+        v = jnp.broadcast_to(jnp.eye(T, dtype=jnp.float32), (B, H, T, T))
+        det = np.asarray(sdpa(q, k, v))           # the softmax probs
+        p = 0.5
+        out = np.asarray(sdpa(q, k, v, dropout_rate=p, deterministic=False,
+                              dropout_rng=jax.random.PRNGKey(7)))
+        dropped = out == 0.0
+        frac = dropped.mean()
+        assert 0.3 < frac < 0.7                   # ~Bernoulli(0.5)
+        # survivors are the deterministic probs rescaled by 1/(1-p)
+        np.testing.assert_allclose(out[~dropped], det[~dropped] / (1 - p),
+                                   rtol=1e-5)
+        # eval mode is untouched by the dropout arguments
+        ev = np.asarray(sdpa(q, k, v, dropout_rate=p, deterministic=True))
+        np.testing.assert_array_equal(ev, det)
+        with pytest.raises(ValueError, match="dropout_rng"):
+            sdpa(q, k, v, dropout_rate=p, deterministic=False)
+
     def test_sdpa_causal_matches_torch(self):
         rng = np.random.default_rng(1)
         q = rng.normal(size=(2, 4, 6, 8)).astype(np.float32)
