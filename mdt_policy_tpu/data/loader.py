@@ -3,12 +3,18 @@
 Replaces the reference's torch DataLoader stack (12 workers, pin_memory,
 CPU torchvision transforms — `mdt/datasets/hulc_data_module.py:136-161`) with:
 
-* a light host loader: index sampling + numpy collation + background-thread
-  prefetch (file IO is the only host work; all pixel math is on-device),
+* a sharded host loader: per-epoch shuffled index permutations (the seed-242
+  epoch/shuffle semantics of the reference recipe), a thread pool decoding
+  samples in parallel (npz zlib-decompress and file IO release the GIL; all
+  pixel math is on-device so threads — not worker processes — saturate the
+  host without pickling batches across process boundaries),
 * `Preprocessor`: one jitted function applying the production camera
   pipelines (data/transforms.py) to a raw uint8 batch on the TPU,
 * dual-stream `{'vis','lang'}` batches (the Lightning multi-loader,
-  hulc_data_module.py:136-147) via paired loaders.
+  hulc_data_module.py:136-147) via paired loaders,
+* multi-host sharding: `shard_index/num_shards` slice every epoch permutation
+  so each host reads only its slice of the global batch (the DDP sampler
+  equivalent).
 
 Language text is tokenized host-side with the CLIP BPE tokenizer (the
 `use_text_not_embedding=True` production path, mdt_agent.py:360-363).
@@ -16,8 +22,10 @@ Language text is tokenized host-side with the CLIP BPE tokenizer (the
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from functools import partial
 from typing import Dict, Iterator, Optional
 
@@ -43,37 +51,93 @@ def collate(samples) -> Dict[str, np.ndarray]:
 
 
 class BatchLoader:
-    """Shuffled, epoch-less batch iterator with background prefetch."""
+    """Epoch-shuffled batch iterator: parallel sample decode + prefetch.
+
+    Each epoch is a fresh seeded permutation of the dataset (sampling WITHOUT
+    replacement — the reference DataLoader(shuffle=True) semantics); batches
+    are cut from the permutation and partial tails dropped. `num_workers`
+    threads decode samples concurrently; `prefetch` finished batches are
+    buffered ahead of the training loop.
+    """
 
     def __init__(self, dataset, batch_size: int, *, seed: int = 0,
-                 prefetch: int = 2, tokenizer=None, context_length: int = 77):
+                 prefetch: int = 2, num_workers: Optional[int] = None,
+                 tokenizer=None, context_length: int = 77,
+                 shard_index: int = 0, num_shards: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
         self.prefetch = prefetch
+        self.num_workers = (num_workers if num_workers is not None
+                            else min(8, os.cpu_count() or 1))
         self.tokenizer = tokenizer
         self.context_length = context_length
+        self.shard_index, self.num_shards = shard_index, num_shards
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
         self._thread: Optional[threading.Thread] = None
+        self._pool: Optional[ThreadPoolExecutor] = None
         self._stop = threading.Event()
+        self.epoch = 0
 
-    def _make_batch(self) -> Dict[str, np.ndarray]:
-        idxs = self.rng.integers(0, len(self.dataset), self.batch_size)
-        batch = collate([self.dataset[int(i)] for i in idxs])
+    def _index_batches(self) -> Iterator[np.ndarray]:
+        """Infinite stream of index batches over per-epoch permutations."""
+        n = len(self.dataset)
+        while True:
+            perm = np.random.default_rng(self.seed + self.epoch).permutation(n)
+            shard = perm[self.shard_index::self.num_shards]
+            for i in range(0, len(shard) - self.batch_size + 1, self.batch_size):
+                yield shard[i:i + self.batch_size]
+            self.epoch += 1
+
+    def _make_batch(self, idxs: np.ndarray) -> Dict[str, np.ndarray]:
+        batch = self._gather_batch(idxs)
+        if batch is None:  # per-sample fallback (no extracted frame arrays)
+            samples = list(self._pool.map(self.dataset.__getitem__,
+                                          [int(i) for i in idxs]))
+            batch = collate(samples)
         if "lang_text" in batch and self.tokenizer is not None:
             batch["lang_tokens"] = self.tokenizer(
                 batch.pop("lang_text"), self.context_length)
         return batch
 
+    def _gather_batch(self, idxs: np.ndarray) -> Optional[Dict[str, np.ndarray]]:
+        """Vectorized fast path: dataset.get_batch gathers the whole batch
+        with one fancy-index per key; slices go to the worker pool so the
+        memcpy parallelizes across cores."""
+        get_batch = getattr(self.dataset, "get_batch", None)
+        if get_batch is None:
+            return None
+        n_slices = max(1, min(self.num_workers, len(idxs) // 16))
+        if n_slices == 1:
+            return get_batch(idxs)
+        slices = np.array_split(np.asarray(idxs), n_slices)
+        parts = list(self._pool.map(get_batch, slices))
+        if any(p is None for p in parts):
+            return None
+        out: Dict[str, np.ndarray] = {}
+        for k in parts[0]:
+            if isinstance(parts[0][k], list):
+                out[k] = [x for p in parts for x in p[k]]
+            else:
+                out[k] = np.concatenate([p[k] for p in parts])
+        return out
+
     def _worker(self):
-        while not self._stop.is_set():
-            try:
-                self._q.put(self._make_batch(), timeout=1.0)
-            except queue.Full:
-                continue
+        for idxs in self._index_batches():
+            if self._stop.is_set():
+                return
+            batch = self._make_batch(idxs)
+            while not self._stop.is_set():
+                try:
+                    self._q.put(batch, timeout=1.0)
+                    break
+                except queue.Full:
+                    continue
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         if self._thread is None:
+            self._pool = ThreadPoolExecutor(max_workers=self.num_workers,
+                                            thread_name_prefix="mdt-decode")
             self._thread = threading.Thread(target=self._worker, daemon=True)
             self._thread.start()
         while True:
@@ -81,6 +145,8 @@ class BatchLoader:
 
     def close(self):
         self._stop.set()
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
 
 
 class DualStreamLoader:

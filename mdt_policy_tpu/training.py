@@ -41,6 +41,8 @@ class DataConfig:
     img_gen_frame_diff: int = 3
     window_sampling_strategy: str = "geometric"
     use_extracted_rel_actions: bool = True
+    use_extracted_frames: bool = True   # contiguous-image fast path if present
+    num_workers: Optional[int] = None   # decode threads (None = min(8, cpus))
     # synthetic-data shapes (smoke mode)
     synthetic_static_hw: int = 200
     synthetic_gripper_hw: int = 84
@@ -55,6 +57,10 @@ class TrainerConfig:
     seed: int = 242
     log_every: int = 50
     keep_checkpoints: int = 1
+    # data-mesh size; None = every device that divides batch_size evenly
+    # (with a warning when some are dropped); set explicitly for strictness —
+    # a batch/device mismatch then errors instead of silently shrinking
+    devices: Optional[int] = None
 
 
 @dataclasses.dataclass
@@ -146,13 +152,19 @@ def _real_loaders(cfg: RunConfig, split: str = "training", context_length: int =
               img_gen_frame_diff=cfg.data.img_gen_frame_diff,
               window_sampling_strategy=cfg.data.window_sampling_strategy,
               use_extracted_rel_actions=cfg.data.use_extracted_rel_actions,
+              use_extracted_frames=cfg.data.use_extracted_frames,
               seed=cfg.trainer.seed)
+    import jax
+
     tok = lambda texts, n: tokenize(texts, n)
+    # per-host sharding: each host decodes only its slice of the global batch
+    shard = dict(shard_index=jax.process_index(), num_shards=jax.process_count(),
+                 num_workers=cfg.data.num_workers)
     vis = BatchLoader(CalvinDataset(root, key="vis", **kw), cfg.trainer.batch_size,
-                      seed=cfg.trainer.seed)
+                      seed=cfg.trainer.seed, **shard)
     lang = BatchLoader(CalvinDataset(root, key="lang", **kw), cfg.trainer.batch_size,
                        seed=cfg.trainer.seed + 1, tokenizer=tok,
-                       context_length=context_length)
+                       context_length=context_length, **shard)
     return DualStreamLoader(vis, lang)
 
 
@@ -196,22 +208,47 @@ def train(cfg: RunConfig):
             val_loader = _real_loaders(cfg, "validation", agent_cfg.clip_context_length)
             val_iter = iter(val_loader)
 
+    import math as _math
+    n_dev = len(jax.devices())
+    if cfg.trainer.devices is not None:
+        n_use = cfg.trainer.devices
+        if n_use > n_dev:
+            raise ValueError(f"trainer.devices={n_use} but only {n_dev} present")
+        if cfg.trainer.batch_size % n_use != 0:
+            raise ValueError(
+                f"batch_size {cfg.trainer.batch_size} not divisible by "
+                f"trainer.devices={n_use}")
+    else:
+        n_use = _math.gcd(cfg.trainer.batch_size, n_dev)
+        if n_use < n_dev:
+            logger.warning("batch %d not divisible by %d devices; using %d "
+                           "(set trainer.devices to make this an error)",
+                           cfg.trainer.batch_size, n_dev, n_use)
+    mesh = make_mesh(jax.devices()[:n_use])
+
     pp = Preprocessor(static_size=agent_cfg.img_size,
                       gripper_size=min(84, agent_cfg.img_size),
                       gen_size=agent_cfg.gen_img_res)
+
+    def device_batch(key, raw):
+        """Shard the raw uint8 host batch over the data axis (4x less PCIe
+        than post-cast f32), then preprocess jitted — outputs inherit the
+        sharding, no second device_put (round-1 did pp -> device_put again)."""
+        out = {}
+        for i, scope in enumerate(sorted(raw.keys())):
+            arrays = {k: v for k, v in raw[scope].items()
+                      if not isinstance(v, list)
+                      and getattr(v, "dtype", None) != object}
+            sharded = shard_batch(arrays, mesh)
+            out[scope] = pp.train_batch(jax.random.fold_in(key, i), sharded)
+        return out
+
     rng, k_pp, k_init = jax.random.split(rng, 3)
-    batch = {s: pp.train_batch(jax.random.fold_in(k_pp, i), b)
-             for i, (s, b) in enumerate(sorted(raw_batch.items()))}
+    batch = device_batch(k_pp, raw_batch)
 
     init = init_mdtv if cfg.agent == "mdtv" else init_mdt
     net, state = init(agent_cfg, k_init, batch["lang"])
 
-    import math as _math
-    n_use = _math.gcd(cfg.trainer.batch_size, len(jax.devices()))
-    mesh = make_mesh(jax.devices()[:n_use])
-    if n_use < len(jax.devices()):
-        logger.warning("batch %d not divisible by %d devices; using %d",
-                       cfg.trainer.batch_size, len(jax.devices()), n_use)
     state = state.replace(params=replicate_tree(state.params, mesh),
                           ema_params=replicate_tree(state.ema_params, mesh),
                           opt_state=replicate_tree(state.opt_state, mesh))
@@ -232,9 +269,7 @@ def train(cfg: RunConfig):
         if data_iter is not None:
             raw_batch = next(data_iter)
         rng, k_pp, k_step = jax.random.split(rng, 3)
-        batch = {s: pp.train_batch(jax.random.fold_in(k_pp, i), b)
-                 for i, (s, b) in enumerate(sorted(raw_batch.items()))}
-        batch = {s: shard_batch(b, mesh) for s, b in batch.items()}
+        batch = device_batch(k_pp, raw_batch)
         state, metrics = jitted_step(state, batch, k_step)
 
         if (step + 1) % cfg.trainer.log_every == 0:
@@ -262,10 +297,7 @@ def train(cfg: RunConfig):
                 for vb in range(cfg.trainer.limit_val_batches):
                     rng, k_v, k_vp = jax.random.split(rng, 3)
                     if val_iter is not None:
-                        vraw = next(val_iter)
-                        vbatch = {s: pp.train_batch(jax.random.fold_in(k_vp, i), b)
-                                  for i, (s, b) in enumerate(sorted(vraw.items()))}
-                        vbatch = {s: shard_batch(b, mesh) for s, b in vbatch.items()}
+                        vbatch = device_batch(k_vp, next(val_iter))
                     else:
                         vbatch = batch
                     vm = jitted_val(state.ema_params, vbatch, k_v)

@@ -139,3 +139,75 @@ class TestLoaderAndPreprocess:
         assert abs(float(np.mean(np.asarray(out["rgb_static"])))) < 2.0
         ev = pp.eval_batch(batch)
         assert ev["rgb_static"].shape == (2, 2, 32, 32, 3)
+
+
+@pytest.fixture()
+def extracted_dir(tmp_path):
+    """Validation-split dataset WITH extracted frame arrays (fast path);
+    validation => hash-deterministic windows, so batch/per-sample parity is
+    exact."""
+    from mdt_policy_tpu.data.bench_loader import generate_dataset
+    from mdt_policy_tpu.data.extract import extract_frames
+    root = tmp_path / "validation"
+    generate_dataset(root, 120, static_hw=32, gripper_hw=24, episode_len=60,
+                     with_lang=True)
+    extract_by_key(root, "rel_actions")
+    extract_frames(root)
+    return root
+
+
+class TestBatchGather:
+    def test_get_batch_matches_getitem(self, extracted_dir):
+        ds = CalvinDataset(extracted_dir, key="vis", min_window_size=21,
+                           max_window_size=30, img_gen_frame_diff=3)
+        assert ds.ex_frames is not None
+        idxs = np.asarray([0, 3, 17, len(ds) - 1])
+        batch = ds.get_batch(idxs)
+        singles = [ds[int(i)] for i in idxs]
+        for k in ("rgb_static", "rgb_gripper", "gen_static", "gen_gripper",
+                  "actions", "robot_obs", "future_frame_diff"):
+            np.testing.assert_array_equal(
+                batch[k], np.stack([s[k] for s in singles]), err_msg=k)
+
+    def test_get_batch_lang(self, extracted_dir):
+        ds = CalvinDataset(extracted_dir, key="lang", min_window_size=21,
+                           max_window_size=30)
+        batch = ds.get_batch(np.asarray([0, 1]))
+        assert batch["lang_emb"].shape == (2, 384)
+        assert len(batch["lang_text"]) == 2
+
+    def test_get_batch_none_without_extraction(self, calvin_dir):
+        ds = make_ds(calvin_dir)  # fixture has no extracted frames
+        assert ds.get_batch(np.asarray([0, 1])) is None
+
+
+class _IdxDataset:
+    def __len__(self):
+        return 10
+
+    def __getitem__(self, i):
+        return {"idx": np.asarray(i)}
+
+
+class TestEpochSemantics:
+    def test_epoch_permutation_without_replacement(self):
+        loader = BatchLoader(_IdxDataset(), 5, seed=0, prefetch=1)
+        it = iter(loader)
+        epoch1 = np.concatenate([next(it)["idx"], next(it)["idx"]])
+        epoch2 = np.concatenate([next(it)["idx"], next(it)["idx"]])
+        loader.close()
+        # each epoch visits every index exactly once, in a new order
+        assert sorted(epoch1.tolist()) == list(range(10))
+        assert sorted(epoch2.tolist()) == list(range(10))
+        assert epoch1.tolist() != epoch2.tolist()
+
+    def test_sharded_loaders_are_disjoint_and_complete(self):
+        a = BatchLoader(_IdxDataset(), 5, seed=0, shard_index=0, num_shards=2,
+                        prefetch=1)
+        b = BatchLoader(_IdxDataset(), 5, seed=0, shard_index=1, num_shards=2,
+                        prefetch=1)
+        ia, ib = next(iter(a))["idx"], next(iter(b))["idx"]
+        a.close(); b.close()
+        union = set(ia.tolist()) | set(ib.tolist())
+        assert len(set(ia.tolist()) & set(ib.tolist())) == 0
+        assert union == set(range(10))
