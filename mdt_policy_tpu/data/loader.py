@@ -123,16 +123,19 @@ class BatchLoader:
         return out
 
     def _worker(self):
-        for idxs in self._index_batches():
-            if self._stop.is_set():
-                return
-            batch = self._make_batch(idxs)
-            while not self._stop.is_set():
-                try:
-                    self._q.put(batch, timeout=1.0)
-                    break
-                except queue.Full:
-                    continue
+        try:
+            for idxs in self._index_batches():
+                if self._stop.is_set():
+                    return
+                batch = self._make_batch(idxs)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(batch, timeout=1.0)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:  # propagate to the consumer, don't hang it
+            self._q.put(e)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         if self._thread is None:
@@ -141,7 +144,10 @@ class BatchLoader:
             self._thread = threading.Thread(target=self._worker, daemon=True)
             self._thread.start()
         while True:
-            yield self._q.get()
+            item = self._q.get()
+            if isinstance(item, BaseException):
+                raise item
+            yield item
 
     def close(self):
         self._stop.set()

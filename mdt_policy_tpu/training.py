@@ -139,9 +139,21 @@ def _synthetic_batch(rng: np.random.Generator, B: int, data_cfg: DataConfig,
     return {"vis": scope(), "lang": scope()}
 
 
-def _real_loaders(cfg: RunConfig, split: str = "training", context_length: int = 77):
+def _real_loaders(cfg: RunConfig, split: str = "training", context_length: int = 77,
+                  vocab_size: Optional[int] = None):
     from mdt_policy_tpu.data import BatchLoader, CalvinDataset, DualStreamLoader
-    from mdt_policy_tpu.utils.clip_tokenizer import tokenize
+    from mdt_policy_tpu.utils.clip_tokenizer import tokenize as _tokenize
+
+    def tokenize(texts, n):
+        ids = _tokenize(texts, n)
+        # an out-of-range id silently NaNs the embedding lookup under jit —
+        # fail loudly at the host seam instead
+        if vocab_size is not None and ids.max() >= vocab_size:
+            raise ValueError(
+                f"tokenized id {int(ids.max())} >= agent clip_vocab_size "
+                f"{vocab_size}; the agent's text tower is too small for real "
+                "CLIP-BPE text")
+        return ids
 
     root = Path(cfg.data.root_data_dir) / split
     kw = dict(lang_folder=cfg.data.lang_folder,
@@ -201,11 +213,13 @@ def train(cfg: RunConfig):
         raw_batch = _synthetic_batch(np_rng, cfg.trainer.batch_size, cfg.data,
                                      agent_cfg)
     else:
-        loader = _real_loaders(cfg, "training", agent_cfg.clip_context_length)
+        loader = _real_loaders(cfg, "training", agent_cfg.clip_context_length,
+                               agent_cfg.clip_vocab_size)
         raw_batch = next(iter(loader))
         val_root = Path(cfg.data.root_data_dir) / "validation"
         if val_root.exists():
-            val_loader = _real_loaders(cfg, "validation", agent_cfg.clip_context_length)
+            val_loader = _real_loaders(cfg, "validation", agent_cfg.clip_context_length,
+                                       agent_cfg.clip_vocab_size)
             val_iter = iter(val_loader)
 
     import math as _math
