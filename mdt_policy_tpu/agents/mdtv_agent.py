@@ -86,7 +86,8 @@ class MDTVAgentNet(nn.Module):
         self.perceiver = perceiver_cls(
             dim=c.perceiver_dim, depth=c.perceiver_depth, dim_head=c.perceiver_dim_head,
             heads=c.perceiver_heads, num_latents=c.num_latents,
-            num_time_embeds=c.perceiver_num_time_embeds, name="perceiver")
+            num_time_embeds=c.perceiver_num_time_embeds,
+            dtype=jnp.dtype(c.compute_dtype), name="perceiver")
         self.visual_goal = CLIPVisionTower(
             embed_dim=c.clip_embed_dim, image_resolution=c.img_size,
             layers=c.clip_vision_layers, width=c.clip_vision_width,
@@ -142,8 +143,11 @@ class MDTVAgentNet(nn.Module):
         cdt = jnp.dtype(self.cfg.compute_dtype)
         flat_s = self._to_vit_size(rgb_static.reshape((B * T,) + rgb_static.shape[2:]))
         flat_g = self._to_vit_size(rgb_gripper.reshape((B * T,) + rgb_gripper.shape[2:]))
-        static_tokens = self.img_encoder(flat_s.astype(cdt)).astype(jnp.float32)
-        gripper_tokens = self.img_encoder(flat_g.astype(cdt)).astype(jnp.float32)
+        # tokens STAY in compute dtype into the perceiver (bf16 halves the
+        # 392-token grid residency — the round-1 B=1024 OOM hog); the
+        # perceiver computes in compute_dtype and returns float32 latents
+        static_tokens = self.img_encoder(flat_s.astype(cdt))
+        gripper_tokens = self.img_encoder(flat_g.astype(cdt))
         if self.cfg.freeze_img_encoder:
             static_tokens = jax.lax.stop_gradient(static_tokens)
             gripper_tokens = jax.lax.stop_gradient(gripper_tokens)

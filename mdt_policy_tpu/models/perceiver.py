@@ -27,6 +27,7 @@ class PerceiverAttentionLayer(nn.Module):
     dim: int
     dim_head: int = 64
     heads: int = 8
+    dtype: jnp.dtype = jnp.float32   # activation dtype; params stay float32
 
     @nn.compact
     def __call__(self, features, latents):
@@ -34,18 +35,19 @@ class PerceiverAttentionLayer(nn.Module):
         assert features.ndim == 3 and latents.ndim == 3
         B, n_queries, _ = latents.shape
         inner = self.dim_head * self.heads
-        x = nn.LayerNorm(name="norm_media")(features)
-        lat = nn.LayerNorm(name="norm_latents")(latents)
-        q = nn.Dense(inner, use_bias=False, name="to_q")(lat)
+        x = nn.LayerNorm(name="norm_media", dtype=self.dtype)(features)
+        lat = nn.LayerNorm(name="norm_latents", dtype=self.dtype)(latents)
+        q = nn.Dense(inner, use_bias=False, name="to_q", dtype=self.dtype)(lat)
         kv_input = jnp.concatenate([x, lat], axis=-2)
-        k = nn.Dense(inner, use_bias=False, name="to_k")(kv_input)
-        v = nn.Dense(inner, use_bias=False, name="to_v")(kv_input)
+        k = nn.Dense(inner, use_bias=False, name="to_k", dtype=self.dtype)(kv_input)
+        v = nn.Dense(inner, use_bias=False, name="to_v", dtype=self.dtype)(kv_input)
         q = q.reshape(B, n_queries, self.heads, self.dim_head).transpose(0, 2, 1, 3)
         k = k.reshape(B, -1, self.heads, self.dim_head).transpose(0, 2, 1, 3)
         v = v.reshape(B, -1, self.heads, self.dim_head).transpose(0, 2, 1, 3)
         out = sdpa(q, k, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, n_queries, inner)
-        return nn.Dense(self.dim, use_bias=False, name="to_out")(out)
+        return nn.Dense(self.dim, use_bias=False, name="to_out",
+                        dtype=self.dtype)(out)
 
 
 class FeedForward(nn.Module):
@@ -54,6 +56,7 @@ class FeedForward(nn.Module):
     dim: int
     mult: int = 4
     activation: str = "gelu"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -62,10 +65,12 @@ class FeedForward(nn.Module):
             "relu": jax.nn.relu,
             "sqrelu": lambda v: jnp.square(jax.nn.relu(v)),
         }
-        x = nn.LayerNorm(name="norm")(x)
-        x = nn.Dense(int(self.dim * self.mult), use_bias=False, name="fc1")(x)
+        x = nn.LayerNorm(name="norm", dtype=self.dtype)(x)
+        x = nn.Dense(int(self.dim * self.mult), use_bias=False, name="fc1",
+                     dtype=self.dtype)(x)
         x = acts[self.activation](x)
-        return nn.Dense(self.dim, use_bias=False, name="fc2")(x)
+        return nn.Dense(self.dim, use_bias=False, name="fc2",
+                        dtype=self.dtype)(x)
 
 
 class PerceiverResampler(nn.Module):
@@ -77,6 +82,9 @@ class PerceiverResampler(nn.Module):
     num_time_embeds: int = 4
     ff_mult: int = 4
     activation: str = "gelu"
+    # activation/compute dtype (params are always float32); bf16 halves the
+    # dominant K/V residuals over the 392-token voltron grid at large batch
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x_f, mask=None):
@@ -93,12 +101,14 @@ class PerceiverResampler(nn.Module):
                                (B, max_length, 1, self.dim))
         if mask is not None:
             tpe = tpe * mask[:, :, None, None].astype(tpe.dtype)
-        x_f = x_f + tpe
+        x_f = (x_f + tpe.astype(x_f.dtype)).astype(self.dtype)
         x_f = x_f.reshape(B, -1, self.dim)
-        x = jnp.broadcast_to(latents[None], (B, self.num_latents, self.dim))
+        x = jnp.broadcast_to(latents[None].astype(self.dtype),
+                             (B, self.num_latents, self.dim))
         for i in range(self.depth):
             x = x + PerceiverAttentionLayer(self.dim, self.dim_head, self.heads,
+                                            dtype=self.dtype,
                                             name=f"attn_{i}")(x_f, x)
             x = x + FeedForward(self.dim, self.ff_mult, self.activation,
-                                name=f"ffw_{i}")(x)
-        return nn.LayerNorm(name="norm")(x)
+                                dtype=self.dtype, name=f"ffw_{i}")(x)
+        return nn.LayerNorm(name="norm")(x.astype(jnp.float32))
