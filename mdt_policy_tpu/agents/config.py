@@ -71,6 +71,10 @@ class MDTVConfig:
     use_noise_encoder: bool = False
     use_modality_encoder: bool = True
     use_mlp_goal: bool = True
+    # feed the 8-d processed proprio vector (data/proprio.py) through the
+    # denoiser's proprio_emb token (ref mdtv_transformer.py:159-163; the
+    # reference ships the hook but its production config never feeds it)
+    use_proprio: bool = False
     # perceiver (conf/model/mdtv_agent.yaml)
     perceiver_depth: int = 6
     perceiver_heads: int = 8

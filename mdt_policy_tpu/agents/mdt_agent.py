@@ -158,6 +158,9 @@ class MDTAgentNet(nn.Module):
             latent_goal = image_latent_goal
 
         perceptual_emb = self.embed_visual_obs(rgb_static, rgb_gripper)
+        if c.use_proprio and "state_obs" in batch:
+            perceptual_emb = {**perceptual_emb,
+                              "state_obs": batch["state_obs"].astype(jnp.float32)}
 
         density = make_sample_density(c.sigma_sample_density_type, c.sigma_data,
                                       c.sigma_min, c.sigma_max)

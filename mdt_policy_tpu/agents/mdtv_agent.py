@@ -211,6 +211,10 @@ class MDTVAgentNet(nn.Module):
             latent_goal = image_latent_goal
 
         perceptual_emb = self.compute_voltron_embeddings(rgb_static, rgb_gripper)
+        if c.use_proprio and "state_obs" in batch:
+            # processed 8-d proprio (data/proprio.py) -> proprio_emb token
+            perceptual_emb = {**perceptual_emb,
+                              "state_obs": batch["state_obs"].astype(jnp.float32)}
 
         # --- diffusion loss (ref diffusion_loss :508-521 + GCDenoiser.loss) ---
         density = make_sample_density(c.sigma_sample_density_type, c.sigma_data,

@@ -110,6 +110,10 @@ class CalvinDataset:
         use_extracted_frames: bool = True,
         skip_frames: int = 1,
         seed: int = 0,
+        proprio: bool = False,
+        proprio_cfg: Optional["ProprioConfig"] = None,
+        include_scene_obs: bool = False,
+        depth_keys: tuple = (),
     ):
         self.dataset_dir = Path(dataset_dir)
         self.with_lang = key == "lang"
@@ -129,6 +133,15 @@ class CalvinDataset:
         # stochastic by design, validation windows are hash-deterministic)
         self._local = threading.local()
         self._thread_counter = itertools.count()
+
+        # proprio path (ref episode_utils.py:14-61): normalize with the
+        # dataset's statistics.yaml, slice keep_indices -> n_state_obs dims
+        from .proprio import ProprioConfig, load_statistics
+        self.proprio = proprio
+        self.proprio_cfg = proprio_cfg or ProprioConfig()
+        self.statistics = load_statistics(self.dataset_dir) if proprio else {}
+        self.include_scene_obs = include_scene_obs
+        self.depth_keys = tuple(depth_keys)
 
         if self.with_lang:
             (self.episode_lookup, self.lang_lookup, self.lang_emb,
@@ -256,6 +269,23 @@ class CalvinDataset:
         }
         for k in self.RGB_KEYS:
             sample[k] = np.stack([f[k] for f in obs_frames] + [goal_frame[k]])
+        if self.proprio:
+            from .proprio import process_state
+            obs_robot = sample["robot_obs"][:self.obs_seq_len]
+            sample["state_obs"] = process_state(obs_robot, self.statistics,
+                                                self.proprio_cfg)
+        if self.include_scene_obs:
+            # raw scene state for env resets (ref get_state_info_dict)
+            frames = [self._frame_arrays(i, ("scene_obs",))
+                      for i in range(start_idx, start_idx + self.obs_seq_len)]
+            frames.append(self._frame_arrays(goal_idx, ("scene_obs",)))
+            sample["scene_obs"] = np.stack(
+                [np.asarray(f["scene_obs"], np.float32) for f in frames])
+        for dk in self.depth_keys:
+            d = [np.asarray(self._load_frame(i)[dk], np.float32)
+                 for i in range(start_idx, start_idx + self.obs_seq_len)]
+            d.append(np.asarray(self._load_frame(goal_idx)[dk], np.float32))
+            sample[dk] = np.stack(d)
         if self.with_lang:
             li = int(self.lang_lookup[idx])
             sample["lang_emb"] = np.asarray(self.lang_emb[li][0], np.float32)
@@ -287,8 +317,10 @@ class CalvinDataset:
         per-sample __getitem__). Semantics identical to __getitem__.
         """
         needed = set(self.RGB_KEYS) | {"robot_obs"}
+        if self.include_scene_obs:
+            needed.add("scene_obs")
         if (self.ex_frames is None or not needed <= set(self.ex_frames)
-                or not self.use_extracted):
+                or not self.use_extracted or self.depth_keys):
             return None
         idxs = np.asarray(idxs, np.int64)
         B = len(idxs)
@@ -330,6 +362,15 @@ class CalvinDataset:
         batch["actions"] = np.asarray(
             self.ex_rel_actions[act_rows], np.float32).reshape(
                 B, self.action_seq_len, -1)
+
+        if self.proprio:
+            from .proprio import process_state
+            batch["state_obs"] = process_state(
+                batch["robot_obs"][:, :self.obs_seq_len], self.statistics,
+                self.proprio_cfg)
+        if self.include_scene_obs:
+            scn = self.ex_frames["scene_obs"][rows].astype(np.float32)
+            batch["scene_obs"] = scn.reshape(B, T, -1)
 
         batch["idx"] = idxs
         batch["future_frame_diff"] = frame_diff.astype(np.int32)

@@ -31,7 +31,7 @@ logger = logging.getLogger(__name__)
 
 __all__ = ["extract_by_key", "extract_frames", "FRAME_KEYS"]
 
-FRAME_KEYS = ("rgb_static", "rgb_gripper", "robot_obs")
+FRAME_KEYS = ("rgb_static", "rgb_gripper", "robot_obs", "scene_obs")
 
 
 def _episode_files(dataset_dir: Path):

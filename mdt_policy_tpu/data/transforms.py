@@ -32,6 +32,7 @@ __all__ = [
     "random_shift_aug",
     "scale_and_normalize",
     "add_gaussian_noise",
+    "add_depth_noise",
     "normalize_vector",
     "relative_actions",
     "preprocess_rgb_train",
@@ -90,6 +91,16 @@ def normalize_vector(x: jax.Array, mean: jax.Array, std: jax.Array) -> jax.Array
     """(ref transforms.py:21-34); zero stds are treated as 1."""
     std = jnp.where(std == 0.0, 1.0, std)
     return (x - mean) / std
+
+
+def add_depth_noise(key: jax.Array, depth: jax.Array, shape: float = 1000.0,
+                    rate: float = 1000.0) -> jax.Array:
+    """Multiplicative gamma noise on depth images (DexNet 2.0 style,
+    ref transforms.py:50-70): ONE scalar noise draw per call, matching the
+    reference's per-batch sample semantics. Gamma(shape, rate) has mean
+    shape/rate (=1 at defaults)."""
+    noise = jax.random.gamma(key, shape) / rate
+    return depth * noise.astype(depth.dtype)
 
 
 def relative_actions(actions: jax.Array, robot_obs: jax.Array,

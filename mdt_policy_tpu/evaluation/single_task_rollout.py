@@ -25,7 +25,21 @@ from mdt_policy_tpu.data.windows import get_validation_window_size
 logger = logging.getLogger(__name__)
 
 __all__ = ["select_first", "select_balanced", "select_longest",
-           "discover_tasks", "SingleTaskRollout"]
+           "discover_tasks", "state_pairs_from_batch", "SingleTaskRollout"]
+
+
+def state_pairs_from_batch(batch: Dict) -> List[Tuple[Dict, Dict]]:
+    """Build discovery state pairs from a validation batch that carries raw
+    state info (dataset `include_scene_obs=True`; the reference reads
+    state_info dicts off the val dataloader, rollout.py:374-421): pair i =
+    (first frame state, goal/last frame state)."""
+    rb = np.asarray(batch["robot_obs"])
+    sc = np.asarray(batch["scene_obs"])
+    return [
+        ({"robot_obs": rb[i, 0], "scene_obs": sc[i, 0]},
+         {"robot_obs": rb[i, -1], "scene_obs": sc[i, -1]})
+        for i in range(len(rb))
+    ]
 
 
 def select_first(all_task_ids: Sequence[int], num: int, *a, **k) -> List[int]:

@@ -43,6 +43,7 @@ class DataConfig:
     use_extracted_rel_actions: bool = True
     use_extracted_frames: bool = True   # contiguous-image fast path if present
     num_workers: Optional[int] = None   # decode threads (None = min(8, cpus))
+    proprio: bool = False               # 8-d state_obs via statistics.yaml
     # synthetic-data shapes (smoke mode)
     synthetic_static_hw: int = 200
     synthetic_gripper_hw: int = 84
@@ -165,6 +166,7 @@ def _real_loaders(cfg: RunConfig, split: str = "training", context_length: int =
               window_sampling_strategy=cfg.data.window_sampling_strategy,
               use_extracted_rel_actions=cfg.data.use_extracted_rel_actions,
               use_extracted_frames=cfg.data.use_extracted_frames,
+              proprio=cfg.data.proprio,
               seed=cfg.trainer.seed)
     import jax
 
