@@ -44,12 +44,26 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis_name: str = DATA_AXIS) -> Any:
-    """Place every leaf with its leading dim sharded over the data axis."""
+    """Place every leaf with its leading dim sharded over the data axis.
+
+    Multi-host: each process passes its LOCAL slice of the global batch (the
+    loader's shard_index/num_shards slicing); the global array is assembled
+    from per-process shards without any cross-host transfer."""
     sh = batch_sharding(mesh, axis_name)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            batch)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
 def replicate_tree(tree: Any, mesh: Mesh) -> Any:
-    """Replicate every leaf across the mesh."""
+    """Replicate every leaf across the mesh. Multi-host: every process must
+    hold identical values (same init seed), which the deterministic seeded
+    init guarantees."""
     sh = replicated(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            tree)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

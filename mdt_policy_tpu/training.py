@@ -77,6 +77,19 @@ class RolloutConfig:
 
 
 @dataclasses.dataclass
+class DistributedConfig:
+    """Multi-host data parallelism (SURVEY §2.10: jax.distributed + one mesh
+    spanning hosts; grad psum + contrastive all-gather ride ICI/DCN inside
+    the same compiled program). trainer.batch_size is PER HOST — the loader
+    shards the dataset per process and the global batch is assembled from
+    per-process shards (parallel/mesh.py shard_batch)."""
+    enabled: bool = False
+    coordinator_address: Optional[str] = None  # host:port; None = TPU autodetect
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
+
+
+@dataclasses.dataclass
 class RunConfig:
     agent: str = "mdtv"            # 'mdtv' | 'mdt'
     log_dir: str = "runs"
@@ -84,6 +97,8 @@ class RunConfig:
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
     trainer: TrainerConfig = dataclasses.field(default_factory=TrainerConfig)
     rollout: RolloutConfig = dataclasses.field(default_factory=RolloutConfig)
+    distributed: DistributedConfig = dataclasses.field(
+        default_factory=DistributedConfig)
     agent_overrides: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
 
@@ -104,7 +119,8 @@ def load_config(path: Optional[str], overrides) -> RunConfig:
 
     cfg = RunConfig()
     for section, cls in (("data", DataConfig), ("trainer", TrainerConfig),
-                         ("rollout", RolloutConfig)):
+                         ("rollout", RolloutConfig),
+                         ("distributed", DistributedConfig)):
         if section in raw:
             setattr(cfg, section, cls(**{**dataclasses.asdict(getattr(cfg, section)),
                                          **raw[section]}))
@@ -182,7 +198,41 @@ def _real_loaders(cfg: RunConfig, split: str = "training", context_length: int =
     return DualStreamLoader(vis, lang)
 
 
+class _NullLogger:
+    """Metrics sink for non-lead processes in multi-host runs."""
+
+    def log(self, metrics, step):
+        pass
+
+    def info(self, msg, *args):
+        pass
+
+    def finish(self):
+        pass
+
+
+def _init_distributed(cfg: DistributedConfig):
+    """jax.distributed wiring (SURVEY §2.10): must run before first backend
+    use. On TPU pods the no-arg form autodetects; CPU/GPU clusters pass
+    coordinator/num_processes/process_id explicitly."""
+    import jax
+
+    kwargs = {}
+    if cfg.coordinator_address:
+        kwargs["coordinator_address"] = cfg.coordinator_address
+    if cfg.num_processes is not None:
+        kwargs["num_processes"] = cfg.num_processes
+    if cfg.process_id is not None:
+        kwargs["process_id"] = cfg.process_id
+    jax.distributed.initialize(**kwargs)
+    logger.info("jax.distributed: process %d/%d, %d local / %d global devices",
+                jax.process_index(), jax.process_count(),
+                jax.local_device_count(), jax.device_count())
+
+
 def train(cfg: RunConfig):
+    if cfg.distributed.enabled:
+        _init_distributed(cfg.distributed)
     import jax
     from mdt_policy_tpu.agents import init_agent as init_mdtv, train_step
     from mdt_policy_tpu.agents.mdt_agent import init_agent as init_mdt
@@ -194,17 +244,24 @@ def train(cfg: RunConfig):
 
     run_name = cfg.run_name or time.strftime("%Y-%m-%d_%H-%M-%S")
     run_dir = Path(cfg.log_dir) / run_name
-    mlog = MetricsLogger(run_dir, config=dataclasses.asdict(cfg))
+    is_lead = jax.process_index() == 0
+    mlog = MetricsLogger(run_dir, config=dataclasses.asdict(cfg)) if is_lead \
+        else _NullLogger()
     # snapshot the full run config: the run dir is the source of truth that
     # evaluation re-hydrates (the reference's .hydra/config.yaml contract,
-    # evaluation/utils.py:159-163)
-    import yaml as _yaml
-    run_dir.mkdir(parents=True, exist_ok=True)
-    (run_dir / "config.yaml").write_text(_yaml.safe_dump(dataclasses.asdict(cfg)))
-    logger.info("run dir: %s | devices: %s", run_dir, jax.devices())
+    # evaluation/utils.py:159-163); lead process only in multi-host
+    if is_lead:
+        import yaml as _yaml
+        run_dir.mkdir(parents=True, exist_ok=True)
+        (run_dir / "config.yaml").write_text(
+            _yaml.safe_dump(dataclasses.asdict(cfg)))
+    logger.info("run dir: %s | %d devices (%d local)", run_dir,
+                jax.device_count(), jax.local_device_count())
 
     agent_cfg = _make_agent(cfg)
-    np_rng = np.random.default_rng(cfg.trainer.seed)
+    # per-host data rng (each host feeds its own slice of the global batch);
+    # the MODEL rng stays host-independent so init is identical everywhere
+    np_rng = np.random.default_rng(cfg.trainer.seed + jax.process_index())
     rng = jax.random.PRNGKey(cfg.trainer.seed)
 
     synthetic = cfg.data.root_data_dir is None
@@ -226,7 +283,17 @@ def train(cfg: RunConfig):
 
     import math as _math
     n_dev = len(jax.devices())
-    if cfg.trainer.devices is not None:
+    global_batch = cfg.trainer.batch_size * jax.process_count()
+    if jax.process_count() > 1:
+        # multi-host: the mesh spans every device; per-host batches must
+        # tile the device grid exactly
+        if global_batch % n_dev != 0:
+            raise ValueError(
+                f"global batch {global_batch} (= {cfg.trainer.batch_size}/host"
+                f" x {jax.process_count()} hosts) not divisible by "
+                f"{n_dev} devices")
+        n_use = n_dev
+    elif cfg.trainer.devices is not None:
         n_use = cfg.trainer.devices
         if n_use > n_dev:
             raise ValueError(f"trainer.devices={n_use} but only {n_dev} present")
@@ -269,8 +336,12 @@ def train(cfg: RunConfig):
                           ema_params=replicate_tree(state.ema_params, mesh),
                           opt_state=replicate_tree(state.opt_state, mesh))
 
-    ckpt = Checkpointer(run_dir / "checkpoints", keep=cfg.trainer.keep_checkpoints)
-    if latest_checkpoint(run_dir / "checkpoints") is not None:
+    # keep_checkpoints=0 disables checkpointing (e.g. throwaway multi-host
+    # smoke runs); orbax otherwise coordinates multi-process saves itself
+    checkpointing = cfg.trainer.keep_checkpoints > 0
+    ckpt = Checkpointer(run_dir / "checkpoints",
+                        keep=cfg.trainer.keep_checkpoints) if checkpointing else None
+    if checkpointing and latest_checkpoint(run_dir / "checkpoints") is not None:
         state = ckpt.restore(state)
         logger.info("auto-resumed from step %d", int(state.step))
 
@@ -293,7 +364,8 @@ def train(cfg: RunConfig):
             t_last = time.perf_counter()
             metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
             metrics["perf/steps_per_sec"] = 1.0 / dt
-            metrics["perf/chunks_per_sec"] = 2 * cfg.trainer.batch_size / dt
+            metrics["perf/chunks_per_sec"] = (
+                2 * cfg.trainer.batch_size * jax.process_count() / dt)
             mlog.log(metrics, step + 1)
             logger.info("step %d | loss %.4f | %.1f chunks/s", step + 1,
                         metrics["train/total_loss"], metrics["perf/chunks_per_sec"])
@@ -304,7 +376,9 @@ def train(cfg: RunConfig):
                 rollout_metrics = _maybe_rollout(cfg, net, state, epoch)
                 if rollout_metrics:
                     mlog.log(rollout_metrics, step + 1)
-                    ckpt.save(state, metric=rollout_metrics["eval_lh/avg_seq_len"])
+                    if checkpointing:
+                        ckpt.save(state,
+                                  metric=rollout_metrics["eval_lh/avg_seq_len"])
             if jitted_val is not None:
                 # validate on the validation split when available (the
                 # reference's limit_val_batches=4 on EMA weights); synthetic
@@ -322,9 +396,10 @@ def train(cfg: RunConfig):
                 val_metrics = {k: v / cfg.trainer.limit_val_batches
                                for k, v in val_metrics.items()}
                 mlog.log(val_metrics, step + 1)
-            ckpt.save(state)
-            logger.info("epoch %d checkpointed at step %d",
-                        (step + 1) // cfg.trainer.steps_per_epoch, step + 1)
+            if checkpointing:
+                ckpt.save(state)
+                logger.info("epoch %d checkpointed at step %d",
+                            (step + 1) // cfg.trainer.steps_per_epoch, step + 1)
 
     if loader is not None:
         loader.close()
