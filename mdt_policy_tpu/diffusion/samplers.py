@@ -361,8 +361,14 @@ def sample_dpmpp_sde(
 ) -> jax.Array:
     """DPM-Solver++ (stochastic) (reference: gc_sampling.py:736-792).
 
-    The reference's BrownianTree noise over disjoint consecutive intervals is
-    distributionally a fresh unit Gaussian per draw, which is what we use.
+    Noise correlation matches the reference's BrownianTreeNoiseSampler
+    (gc_sampling.py:139-160, identity sigma transform): the two draws of a
+    step normalize Brownian increments over [sig_mid, sigma] and
+    [sigma_next, sigma] — nested intervals sharing the start, so
+    corr(n1, n2) = sqrt((sigma - sig_mid) / (sigma - sigma_next)); increments
+    of DIFFERENT steps live on disjoint sigma intervals and are independent.
+    We draw n1 ~ N(0,1) and n2 = rho*n1 + sqrt(1-rho^2)*z, which has exactly
+    that joint law (distribution-tested in tests/test_samplers.py).
     """
     s = _static_sigmas(sigmas)
     keys = _split_keys(key, 2 * (len(s) - 1)).reshape(len(s) - 1, 2, -1)
@@ -382,11 +388,17 @@ def sample_dpmpp_sde(
         fac = 1 / (2 * r)
         sig_mid = jnp.exp(-s_mid)
 
+        # Brownian-bridge-consistent pair: shared interval start at sigma
+        rho = jnp.sqrt(jnp.clip((sigma - sig_mid) / (sigma - safe_next), 0.0, 1.0))
+        n1 = jax.random.normal(k1, x.shape, x.dtype)
+        n2 = rho * n1 + jnp.sqrt(1.0 - rho * rho) * jax.random.normal(
+            k2, x.shape, x.dtype)
+
         # Step 1
         sd, su = _ancestral_step(sigma, sig_mid, eta)
         s_ = -jnp.log(jnp.maximum(sd, 1e-10))
         x_2 = (jnp.exp(-s_) / sigma) * x - jnp.expm1(t - s_) * denoised
-        x_2 = x_2 + jax.random.normal(k1, x.shape, x.dtype) * s_noise * su
+        x_2 = x_2 + n1 * s_noise * su
         denoised_2 = denoise_fn(x_2, sig_mid)
 
         # Step 2
@@ -394,7 +406,7 @@ def sample_dpmpp_sde(
         t_next_ = -jnp.log(jnp.maximum(sd, 1e-10))
         denoised_d = (1 - fac) * denoised + fac * denoised_2
         x_sde = (jnp.exp(-t_next_) / sigma) * x - jnp.expm1(t - t_next_) * denoised_d
-        x_sde = x_sde + jax.random.normal(k2, x.shape, x.dtype) * s_noise * su
+        x_sde = x_sde + n2 * s_noise * su
         return jnp.where(sigma_next == 0, x_euler, x_sde), None
 
     xs = (jnp.asarray(s[:-1]), jnp.asarray(s[1:]), keys)

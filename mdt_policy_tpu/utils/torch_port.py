@@ -17,9 +17,12 @@ numpy arrays (state_dicts loaded with torch.load(..., map_location='cpu')).
 
 from __future__ import annotations
 
+import logging
 from typing import Dict, Mapping
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 __all__ = ["port_mdtv_transformer", "port_mdt_transformer"]
 
@@ -280,24 +283,35 @@ def port_perceiver(sd: Mapping, *, depth: int = 6, prefix: str = "") -> Dict:
     return params
 
 
+def _layer_scale(sd: Mapping, prefix: str, idx: int) -> Dict:
+    """LayerScale gamma under any of the spellings seen across voltron/timm
+    vintages: ls{i}.gamma, layer_scale{i}.gamma, lambda{i} (bare parameter)."""
+    for cand in (f"{prefix}.ls{idx}.gamma", f"{prefix}.layer_scale{idx}.gamma",
+                 f"{prefix}.lambda{idx}"):
+        if cand in sd:
+            return {"gamma": _np(sd[cand])}
+    raise KeyError(f"no LayerScale {idx} parameter under {prefix} "
+                   f"(tried ls/layer_scale/lambda spellings)")
+
+
 def _voltron_block(sd: Mapping, prefix: str) -> Dict:
     """Voltron `models/util/transformer.Block` (RMSNorm + fused-qkv attention
-    + SwishGLU MLP + LayerScale) -> models.voltron_vit.VoltronBlock params.
-
-    NOTE: layout follows the published voltron-robotics package; cannot be
-    parity-tested in this image (package not installed) — verify against a
-    real checkpoint before relying on it."""
+    + SwishGLU MLP + LayerScale, pre-norm residuals) ->
+    models.voltron_vit.VoltronBlock params. Layout parity-tested against a
+    torch reconstruction of the published block in
+    tests/test_voltron_port.py; LayerScale key spellings are normalized by
+    _layer_scale."""
     return {
         "norm1": {"g": _np(sd[f"{prefix}.norm1.g"])} if f"{prefix}.norm1.g" in sd
                  else _ln(sd, f"{prefix}.norm1"),
         "attn": {"qkv": _dense(sd, f"{prefix}.attn.qkv"),
                  "proj": _dense(sd, f"{prefix}.attn.proj")},
-        "ls1": {"gamma": _np(sd[f"{prefix}.ls1.gamma"])},
+        "ls1": _layer_scale(sd, prefix, 1),
         "norm2": {"g": _np(sd[f"{prefix}.norm2.g"])} if f"{prefix}.norm2.g" in sd
                  else _ln(sd, f"{prefix}.norm2"),
         "mlp_glu": {"project": _dense(sd, f"{prefix}.mlp.0.project")},
         "mlp_out": _dense(sd, f"{prefix}.mlp.1"),
-        "ls2": {"gamma": _np(sd[f"{prefix}.ls2.gamma"])},
+        "ls2": _layer_scale(sd, prefix, 2),
     }
 
 
@@ -369,22 +383,30 @@ def port_mdtv_agent(sd: Mapping, *, n_enc_layers: int = 4, n_dec_layers: int = 4
             "mlp_out": {"kernel": _np(cp["mlp.1.weight"]).T,
                         "bias": _np(cp["mlp.1.bias"])},
         }}
-    # img_encoder (Voltron backbone) layout depends on the voltron package;
-    # ported best-effort when present
+    # img_encoder (Voltron v-cond backbone)
     ve = sub("img_encoder.vcond.")
     if ve:
         try:
-            n_blocks = 1 + max(int(k.split(".")[1]) for k in ve if k.startswith("blocks."))
-            enc: Dict = {
-                "patch_embed": {"proj": _conv_nhwc(ve, "patch2embed.proj")},
-                "norm": _ln(ve, "encoder_norm"),
-            }
-            for i in range(n_blocks):
-                enc[f"block_{i}"] = _voltron_block(ve, f"blocks.{i}")
-            params["img_encoder"] = enc
-        except (KeyError, ValueError):
-            pass  # leave random-init; caller can port manually
+            params["img_encoder"] = port_voltron_vit(ve)
+        except (KeyError, ValueError) as e:
+            logger.warning("voltron backbone port failed (%s); leaving "
+                           "random-init — port manually", e)
     return params
+
+
+def port_voltron_vit(ve: Mapping) -> Dict:
+    """Voltron v-cond ViT state_dict (patch2embed + blocks.N + encoder_norm)
+    -> models.voltron_vit.VoltronViT params. Block layout parity-tested in
+    tests/test_voltron_port.py against a torch reconstruction of the
+    published voltron block (RMSNorm/SwishGLU/LayerScale pre-norm)."""
+    n_blocks = 1 + max(int(k.split(".")[1]) for k in ve if k.startswith("blocks."))
+    enc: Dict = {
+        "patch_embed": {"proj": _conv_nhwc(ve, "patch2embed.proj")},
+        "norm": _ln(ve, "encoder_norm"),
+    }
+    for i in range(n_blocks):
+        enc[f"block_{i}"] = _voltron_block(ve, f"blocks.{i}")
+    return enc
 
 
 # ---------------------------------------------------------------------------

@@ -220,3 +220,38 @@ def test_sampler_vocabulary_covers_reference_dispatch():
 
     with pytest.raises(ValueError, match="Unknown sampler"):
         SM.sample_loop("not_a_sampler", dirac_denoiser, jnp.asarray(X0), SIGMAS)
+
+
+def test_dpmpp_sde_noise_correlation_matches_brownian_tree():
+    """The two per-step noise draws must have the BrownianTree joint law
+    (ref gc_sampling.py:139-160 + :781,790): unit marginals with
+    corr = sqrt((sigma - sig_mid)/(sigma - sigma_next)). The draws are
+    recovered algebraically from two sampler runs sharing one key: a ZERO
+    denoiser exposes n2, an IDENTITY denoiser exposes a*n1 + b*n2."""
+    sigma, sigma_next = 1.0, 0.25
+    t, t_next = -np.log(sigma), -np.log(sigma_next)
+    sig_mid = float(np.exp(-(t + (t_next - t) * 0.5)))
+    rho_expected = np.sqrt((sigma - sig_mid) / (sigma - sigma_next))
+
+    sd1, su1 = (float(v) for v in SM._ancestral_step(
+        jnp.asarray(sigma), jnp.asarray(sig_mid), 1.0))
+    sd2, su2 = (float(v) for v in SM._ancestral_step(
+        jnp.asarray(sigma), jnp.asarray(sigma_next), 1.0))
+    t_next_ = -np.log(sd2)
+    a = -np.expm1(-t_next_) * su1   # coefficient of n1 in the identity run
+    b = su2                          # coefficient of n2
+
+    sigmas = np.asarray([sigma, sigma_next], np.float32)  # single SDE step
+    zero = lambda x, s: jnp.zeros_like(x)
+    ident = lambda x, s: x
+    # one batched call: the per-step noise draw is i.i.d. across the batch
+    key = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((4000, 1, 1))
+    out0 = np.asarray(SM.sample_dpmpp_sde(zero, x0, sigmas, key=key)).ravel()
+    out1 = np.asarray(SM.sample_dpmpp_sde(ident, x0, sigmas, key=key)).ravel()
+    n2s = out0 / b
+    n1s = (out1 - b * n2s) / a
+    n1s, n2s = np.asarray(n1s), np.asarray(n2s)
+    assert abs(n1s.std() - 1.0) < 0.12 and abs(n2s.std() - 1.0) < 0.12
+    corr = np.corrcoef(n1s, n2s)[0, 1]
+    assert abs(corr - rho_expected) < 0.08, (corr, rho_expected)
