@@ -44,15 +44,14 @@ def sdpa(
     with p=rate and survivors are rescaled by 1/(1-rate). Train-mode only;
     requires an explicit rng.
 
-    With MDT_TPU_PALLAS=1, small self-attention shapes route to the fused
-    Pallas kernel (ops/pallas_attention.py) when no dropout is active.
+    There is deliberately NO Pallas route here: measured end-to-end, inserting
+    the fused small-seq kernel into the jitted train step is an ~11x
+    regression (the pallas_call is an opaque fusion boundary for XLA) even
+    though it wins isolated microbenches — see docs/PALLAS.md for the full
+    measurement table. ops/pallas_attention.py remains available as a
+    numerics-tested standalone kernel.
     """
     drop_active = dropout_rate > 0.0 and not deterministic
-    if mask is None and not drop_active and q.ndim == 4 \
-            and q.shape == k.shape == v.shape and q.shape[-2] <= 32:
-        from .pallas_attention import pallas_enabled, small_seq_mha
-        if pallas_enabled() and jax.default_backend() == "tpu":
-            return small_seq_mha(q, k, v, causal)
     *_, q_len, head_dim = q.shape
     k_len = k.shape[-2]
     scale = head_dim ** -0.5
