@@ -99,6 +99,8 @@ def build_policy(train_folder: str, *, sampler_type=None, num_sampling_steps=Non
 
     class PreprocessingPolicy:
         """Adapts raw env obs (uint8) to the jitted policy inputs."""
+        inner = policy  # the MDTVPolicy (exposed for tooling, e.g. annotator)
+
         def reset(self):
             policy.reset()
 

@@ -82,3 +82,41 @@ class TestLangAnnotator:
         table = np.load(p2, allow_pickle=True).item()
         assert "open_drawer" in table
         np.testing.assert_allclose(table["open_drawer"]["emb"], 1.0)
+
+
+def test_scan_dataset_end_to_end(tmp_path):
+    """Thread-parallel episode sweep over an on-disk split: per-frame state
+    infos feed a scripted oracle; windows that complete exactly one known
+    task get an annotation sentence with global frame indices."""
+    from mdt_policy_tpu.data.bench_loader import generate_dataset
+    from mdt_policy_tpu.data.lang_annotator import scan_dataset
+    from mdt_policy_tpu.evaluation.annotations import train_annotations
+
+    root = tmp_path / "training"
+    generate_dataset(root, 120, static_hw=16, gripper_hw=16, episode_len=60)
+
+    calls = []
+
+    def detect(start_info, end_info):
+        # state infos must carry raw robot/scene state
+        assert start_info["robot_obs"].shape == (15,)
+        assert end_info["scene_obs"].shape == (24,)
+        calls.append(1)
+        # alternate: one known task / nothing / two tasks
+        n = len(calls)
+        if n % 3 == 1:
+            return ["open_drawer"]
+        if n % 3 == 2:
+            return []
+        return ["open_drawer", "close_drawer"]
+
+    indices, tasks, sentences = scan_dataset(
+        root, detect, train_annotations(), window=20, stride=10, num_workers=2)
+    assert len(indices) == len(tasks) == len(sentences) > 0
+    assert set(tasks) == {"open_drawer"}
+    table = set(train_annotations()["open_drawer"])
+    assert all(s in table for s in sentences)
+    # indices are global frame ids within episode bounds
+    assert all(0 <= a < b < 120 for a, b in indices)
+    # second episode's windows offset by its start frame
+    assert any(a >= 60 for a, _ in indices)

