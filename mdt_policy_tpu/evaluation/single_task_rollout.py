@@ -25,7 +25,24 @@ from mdt_policy_tpu.data.windows import get_validation_window_size
 logger = logging.getLogger(__name__)
 
 __all__ = ["select_first", "select_balanced", "select_longest",
-           "discover_tasks", "state_pairs_from_batch", "SingleTaskRollout"]
+           "discover_tasks", "state_pairs_from_batch", "SingleTaskRollout",
+           "save_task_dict", "load_task_dict"]
+
+
+def save_task_dict(path, task_to_states: Dict[str, List[Dict]]):
+    """Persist discovered (task -> reset states) so discovery survives
+    restarts (the reference stores these dicts in the Lightning checkpoint,
+    rollout.py:404-415; here they live beside the run's checkpoints)."""
+    from pathlib import Path
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.save(path, np.asarray(task_to_states, dtype=object), allow_pickle=True)
+    return path
+
+
+def load_task_dict(path) -> Dict[str, List[Dict]]:
+    return np.load(path, allow_pickle=True).item()
 
 
 def state_pairs_from_batch(batch: Dict) -> List[Tuple[Dict, Dict]]:

@@ -114,3 +114,18 @@ def test_rollout_video_sinks(tmp_path):
     assert first[0, 0].tolist() != [0, 0, 0]
     # absent encoders/wandb degrade silently (no mp4 in this image)
     assert not (tmp_path / "seq0.mp4").exists() or True
+
+
+def test_task_dict_persistence(tmp_path):
+    """(ref rollout.py:404-415): discovered task->states dictionaries survive
+    a save/load round trip with array payloads intact."""
+    from mdt_policy_tpu.evaluation.single_task_rollout import (
+        load_task_dict, save_task_dict)
+    d = {"open_drawer": [{"robot_obs": np.arange(15.0),
+                          "scene_obs": np.ones(24)}],
+         "stack_block": []}
+    p = save_task_dict(tmp_path / "ckpt" / "task_dict.npy", d)
+    back = load_task_dict(p)
+    assert set(back) == {"open_drawer", "stack_block"}
+    np.testing.assert_array_equal(back["open_drawer"][0]["robot_obs"],
+                                  np.arange(15.0))
