@@ -136,8 +136,19 @@ def main(argv=None):
                          "use_text_not_embedding=False path)")
     ap.add_argument("--fake-env", action="store_true",
                     help="protocol smoke run without PyBullet")
+    ap.add_argument("--debug", action="store_true",
+                    help="per-chain subtask/goal logging (ref mdt_evaluate.py "
+                         "cfg.debug prints)")
+    # sweep mode (the reference's sweep.yaml surface: sampler x steps x
+    # sigma_min grid, each combo a full benchmark)
+    ap.add_argument("--sweep-sampler", nargs="+", default=None)
+    ap.add_argument("--sweep-steps", nargs="+", type=int, default=None)
+    ap.add_argument("--sweep-sigma-min", nargs="+", type=float, default=None)
     args = ap.parse_args(argv)
-    logging.basicConfig(level=logging.INFO)
+    logging.basicConfig(level=logging.DEBUG if args.debug else logging.INFO)
+
+    if args.sweep_sampler or args.sweep_steps or args.sweep_sigma_min:
+        return _sweep(args)
 
     from mdt_policy_tpu.evaluation import evaluate_policy, print_and_save
     from mdt_policy_tpu.evaluation.annotations import make_goal_fn, make_task_oracle
@@ -174,6 +185,50 @@ def main(argv=None):
                           Path(args.train_folder) / "evaluation")
     print(json.dumps({"avg_seq_len": data["avg_seq_len"],
                       "chain_sr": data["chain_sr"]}, indent=2))
+
+
+def _sweep(args):
+    """Grid over sampler x steps x sigma_min, one benchmark per combo (the
+    reference's wandb sweep surface, sweep.yaml:9-22); writes
+    sweep_results.json under <train_folder>/evaluation."""
+    import itertools
+
+    from mdt_policy_tpu.evaluation import evaluate_policy
+    from mdt_policy_tpu.evaluation.annotations import make_goal_fn, make_task_oracle
+
+    samplers = args.sweep_sampler or [args.sampler or "ddim"]
+    steps_grid = args.sweep_steps or [args.steps or 10]
+    sigma_mins = args.sweep_sigma_min or [args.sigma_min]
+
+    if args.fake_env:
+        from mdt_policy_tpu.evaluation.fake_env import FakeEnv, ScriptedOracle
+        env, oracle = FakeEnv(img_hw=64), ScriptedOracle(default=10 ** 9)
+    else:
+        from mdt_policy_tpu.evaluation.env_adapter import make_calvin_env
+        env = make_calvin_env(args.dataset_path)
+        oracle = make_task_oracle()
+
+    out = Path(args.train_folder) / "evaluation"
+    out.mkdir(parents=True, exist_ok=True)
+    table = []
+    for sampler, steps, smin in itertools.product(samplers, steps_grid, sigma_mins):
+        policy, agent_cfg, _ = build_policy(
+            args.train_folder, sampler_type=sampler, num_sampling_steps=steps,
+            sigma_min=smin, sigma_max=args.sigma_max,
+            noise_scheduler=args.noise_scheduler, use_ema=not args.no_ema)
+        goal_fn = make_goal_fn(agent_cfg.clip_context_length)
+        results = evaluate_policy(policy, env, oracle, goal_fn,
+                                  num_sequences=args.num_sequences,
+                                  ep_len=args.ep_len, progress=False)
+        avg = float(np.mean(results))
+        row = {"sampler": sampler, "steps": steps, "sigma_min": smin,
+               "avg_seq_len": avg}
+        table.append(row)
+        logger.info("sweep %s", row)
+        # incremental write: a failing later combo never loses finished rows
+        (out / "sweep_results.json").write_text(json.dumps(table, indent=2))
+    best = max(table, key=lambda r: r["avg_seq_len"])
+    print(json.dumps({"sweep": table, "best": best}, indent=2))
 
 
 if __name__ == "__main__":

@@ -90,6 +90,9 @@ def evaluate_sequence(env, model, task_oracle, initial_state: Dict,
         goal = goal_fn(subtask)
         success = rollout(env, model, task_oracle, subtask,
                           goal.get("lang_text", subtask), goal, ep_len)
+        # ref mdt_evaluate.py debug prints (:166-171,199-203)
+        logger.debug("subtask %-28s | %-45s | %s", subtask,
+                     goal.get("lang_text", ""), "success" if success else "fail")
         if not success:
             return success_counter
         success_counter += 1
