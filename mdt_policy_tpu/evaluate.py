@@ -130,6 +130,10 @@ def main(argv=None):
     ap.add_argument("--noise-scheduler", default=None)
     ap.add_argument("--multistep", type=int, default=None)
     ap.add_argument("--no-ema", action="store_true")
+    ap.add_argument("--num-videos", type=int, default=0,
+                    help="record the first N chains as GIF/mp4 under "
+                         "<train_folder>/evaluation/videos (ref "
+                         "conf/mdt_evaluate.yaml num_videos)")
     ap.add_argument("--use-embeddings", action="store_true",
                     help="goal = precomputed embeddings.npy lookup instead of "
                          "in-program CLIP text encoding (the reference's "
@@ -180,7 +184,9 @@ def main(argv=None):
 
     results = evaluate_policy(policy, env, oracle, goal_fn,
                               num_sequences=args.num_sequences,
-                              ep_len=args.ep_len)
+                              ep_len=args.ep_len, num_videos=args.num_videos,
+                              video_dir=Path(args.train_folder) / "evaluation"
+                              / "videos")
     data = print_and_save(results, args.num_sequences,
                           Path(args.train_folder) / "evaluation")
     print(json.dumps({"avg_seq_len": data["avg_seq_len"],

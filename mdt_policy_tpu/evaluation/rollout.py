@@ -64,23 +64,32 @@ class LangEmbeddings:
 
 
 def rollout(env, model, task_oracle, subtask: str, lang_annotation: str,
-            goal: Dict, ep_len: int = 360) -> bool:
-    """Single-subtask closed loop (ref mdt_evaluate.py:185-220)."""
+            goal: Dict, ep_len: int = 360, video=None) -> bool:
+    """Single-subtask closed loop (ref mdt_evaluate.py:185-220). With `video`
+    (a RolloutVideo) every static-camera frame is recorded and the subtask's
+    frames get the language caption (ref :205-219)."""
     obs = env.get_obs()
     model.reset()
     start_info = env.get_info()
+    success = False
     for _step in range(ep_len):
         action = model.step(obs, goal)
         obs, _, _, current_info = env.step(action)
+        if video is not None:
+            video.update(obs["rgb_obs"]["rgb_static"])
         current_task_info = task_oracle.get_task_info_for_set(
             start_info, current_info, {subtask})
         if len(current_task_info) > 0:
-            return True
-    return False
+            success = True
+            break
+    if video is not None:
+        video.add_language_instruction(lang_annotation)
+    return success
 
 
 def evaluate_sequence(env, model, task_oracle, initial_state: Dict,
-                      eval_sequence: Sequence[str], goal_fn, ep_len: int = 360) -> int:
+                      eval_sequence: Sequence[str], goal_fn, ep_len: int = 360,
+                      video=None) -> int:
     """Run one 5-task chain; returns the count of consecutive successes
     (ref mdt_evaluate.py:157-182). `goal_fn(subtask) -> goal dict`."""
     robot_obs, scene_obs = get_env_state_for_initial_condition(initial_state)
@@ -88,8 +97,12 @@ def evaluate_sequence(env, model, task_oracle, initial_state: Dict,
     success_counter = 0
     for subtask in eval_sequence:
         goal = goal_fn(subtask)
+        if video is not None:
+            video.new_subtask()
         success = rollout(env, model, task_oracle, subtask,
-                          goal.get("lang_text", subtask), goal, ep_len)
+                          goal.get("lang_text", subtask), goal, ep_len, video)
+        if video is not None:
+            video.draw_outcome(success)
         # ref mdt_evaluate.py debug prints (:166-171,199-203)
         logger.debug("subtask %-28s | %-45s | %s", subtask,
                      goal.get("lang_text", ""), "success" if success else "fail")
@@ -101,17 +114,30 @@ def evaluate_sequence(env, model, task_oracle, initial_state: Dict,
 
 def evaluate_policy(model, env, task_oracle, goal_fn, *, num_sequences: int = 1000,
                     ep_len: int = 360, sequence_indices: Optional[Sequence[int]] = None,
-                    progress: bool = True) -> List[int]:
+                    progress: bool = True, num_videos: int = 0,
+                    video_dir=None) -> List[int]:
     """Full benchmark (ref mdt_evaluate.py:112-154). `sequence_indices` shards
     chains across hosts (the RolloutLongHorizon DDP sharding equivalent,
-    rollout_long_horizon.py:42-78)."""
+    rollout_long_horizon.py:42-78). The first `num_videos` chains are recorded
+    to `video_dir` with per-subtask outcome borders and captions
+    (ref :116-143)."""
     eval_sequences = get_sequences(num_sequences)
     if sequence_indices is not None:
         eval_sequences = [eval_sequences[i] for i in sequence_indices]
+    recorder = None
+    if num_videos > 0:
+        from .video import RolloutVideo
+        recorder = RolloutVideo(video_dir or "rollout_videos")
     results: List[int] = []
     for i, (initial_state, eval_sequence) in enumerate(eval_sequences):
+        video = recorder if (recorder is not None and i < num_videos) else None
+        if video is not None:
+            # ref get_video_tag (mdt_evaluate.py:29-30)
+            video.new_video(f"lh-sequence_{i}", caption=" | ".join(eval_sequence))
         result = evaluate_sequence(env, model, task_oracle, initial_state,
-                                   eval_sequence, goal_fn, ep_len)
+                                   eval_sequence, goal_fn, ep_len, video)
+        if video is not None:
+            video.write()
         results.append(result)
         if progress and (i + 1) % 50 == 0:
             srs = count_success(results)

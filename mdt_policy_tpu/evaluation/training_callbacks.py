@@ -57,10 +57,14 @@ class RolloutLongHorizonCallback:
         import jax
         idxs = shard_indices(self.num_sequences, jax.process_index(),
                              jax.process_count())
+        # videos: lead host records its first chains (the reference divides
+        # the video budget across ranks, rollout_long_horizon.py:154-155)
+        n_videos = self.num_videos if jax.process_index() == 0 else 0
         results = evaluate_policy(
             policy, self.env, self.task_oracle, self.goal_fn,
             num_sequences=self.num_sequences, ep_len=self.ep_len,
-            sequence_indices=idxs)
+            sequence_indices=idxs, num_videos=n_videos,
+            video_dir=self.video_dir)
         results = self._gather(results)
         srs = count_success(results)
         metrics = {f"eval_lh/sr_chain_{i + 1}": sr for i, sr in enumerate(srs)}

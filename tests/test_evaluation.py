@@ -146,3 +146,28 @@ class TestRolloutDriver:
         n = evaluate_sequence(env, policy, oracle, dict(state), chain,
                               lambda s: {"lang_text": s}, ep_len=5)
         assert n == 5
+
+    def test_video_recording(self, tmp_path):
+        """evaluate_policy(num_videos=N) records the first N chains as GIFs
+        with outcome borders (ref mdt_evaluate.py:112-143)."""
+        from mdt_policy_tpu.evaluation.rollout import evaluate_policy
+
+        env = FakeEnv()
+        policy = RandomPolicy()
+        get_sequences.cache_clear()
+        oracle = ScriptedOracle(default=2)  # every subtask solves at step 2
+        results = evaluate_policy(
+            policy, env, oracle, lambda s: {"lang_text": f"do {s}"},
+            num_sequences=3, ep_len=5, progress=False,
+            num_videos=2, video_dir=tmp_path)
+        assert results == [5, 5, 5]
+        gifs = sorted(tmp_path.glob("*.gif"))
+        assert [g.name for g in gifs] == ["lh-sequence_0.gif", "lh-sequence_1.gif"]
+        from PIL import Image
+        with Image.open(gifs[0]) as im:
+            # 5 subtasks x 2 frames each
+            assert im.n_frames == 10
+            # success border: first row tinted green (GIF quantization may
+            # shift exact values; green must dominate)
+            r, g, b = np.asarray(im.convert("RGB"))[0, 0].astype(int)
+            assert g > r and g > b
