@@ -4,21 +4,31 @@ Headline metric (BASELINE.md driver target): action-chunks/sec/chip of the
 full dual-modality train step (diffusion + masked-foresight + contrastive
 losses, frozen CLIP/Voltron towers in-program) on production shapes:
 224px dual-camera frames, 112px gen targets, 10x7 action chunks.
-Target: >= 5,000 chunks/sec/chip on v5e. vs_baseline = value / 5000.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Also reports (to stderr) the 10-step DDIM sampling latency p50, the second
-driver target (< 30 ms/chunk).
+MEASUREMENT INTEGRITY (docs/BENCHMARKING.md): on this container's remote
+TPU tunnel `jax.block_until_ready` is NOT a reliable execution barrier —
+loops ending in it report step times far beyond the chip's peak-FLOP bound
+(the same program has "measured" 13 ms and 1,142 ms per step). Every timed
+region here therefore ends in an actual device->host fetch of an updated
+trainable param leaf, which cannot complete before the whole donation chain
+of optimizer updates has executed. The implied MXU utilization against
+XLA's own cost model is printed as a self-check; >100% marks a measurement
+invalid.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from functools import partial
 
 import numpy as np
+
+V5E_PEAK_FLOPS = 197e12  # bf16, one v5e chip
 
 
 def main():
@@ -44,9 +54,6 @@ def main():
             }
         return {"vis": scope(), "lang": scope()}
 
-    # B=512/modality saturates the v5e MXU (B=1024 exceeds 16G HBM); the step
-    # time is ~flat from B=64 to B=512 (launch-latency floor ~90ms over the
-    # remote tunnel), so large batch is free throughput
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     batch = make_batch(B)
     print(f"init (B={B} per modality) ...", file=sys.stderr)
@@ -55,23 +62,49 @@ def main():
     jitted = jax.jit(partial(train_step, net), donate_argnums=(0,))
     key = jax.random.PRNGKey(1)
 
+    def drain(state):
+        """TRUE barrier: fetch an updated param leaf (real device->host
+        bytes; depends on every optimizer update in the donation chain)."""
+        np.asarray(state.params["inner"]["tok_emb"]["kernel"])
+
+    # XLA's own FLOP count for the step — the physics self-check
+    flops = None
+    try:
+        cost = jitted.lower(state, batch, key).compile().cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops = float(cost.get("flops")) if cost and cost.get("flops") else None
+    except Exception as e:
+        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+
     t0 = time.perf_counter()
     state, metrics = jitted(state, batch, key)
-    jax.block_until_ready(metrics["train/total_loss"])
+    drain(state)
     print(f"train-step compile+first-run: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
-    n_steps = 10
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        state, metrics = jitted(state, batch, jax.random.fold_in(key, i))
-    jax.block_until_ready(metrics["train/total_loss"])
-    dt = (time.perf_counter() - t0) / n_steps
-    chunks_per_sec = 2 * B / dt  # both modality streams count as chunks
-    print(f"train step: {dt*1e3:.1f} ms -> {chunks_per_sec:.0f} chunks/s/chip",
+    # best-of-2 drained mini-loops: guards against transient tunnel stalls
+    # (the same program has measured 1.1 s and >60 s per step minutes apart)
+    n_steps, dts = 6, []
+    for rep in range(2):
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            state, metrics = jitted(state, batch,
+                                    jax.random.fold_in(key, rep * n_steps + i))
+        drain(state)
+        dts.append((time.perf_counter() - t0) / n_steps)
+    print("train-step loops: " + ", ".join(f"{d*1e3:.0f} ms" for d in dts),
           file=sys.stderr)
+    dt = min(dts)
+    chunks_per_sec = 2 * B / dt  # both modality streams count as chunks
+    mxu_pct = (flops / dt / V5E_PEAK_FLOPS * 100) if flops else None
+    print(f"train step: {dt*1e3:.0f} ms -> {chunks_per_sec:.0f} chunks/s/chip"
+          + (f" | {flops/1e12:.1f} TFLOP/step, MXU {mxu_pct:.0f}%" if flops else ""),
+          file=sys.stderr)
+    if mxu_pct and mxu_pct > 100:
+        print("WARNING: implied utilization exceeds chip peak — measurement "
+              "invalid (broken barrier?)", file=sys.stderr)
 
-    # --- secondary: 10-step DDIM sampling latency (p50), batch 1 ---
+    # --- secondary: 10-step DDIM closed-loop latency, batch 1, REAL fetch ---
     b1 = make_batch(1)["lang"]
 
     @jax.jit
@@ -83,36 +116,46 @@ def main():
 
     args = (state.params, b1["rgb_static"][:, :-1], b1["rgb_gripper"][:, :-1],
             b1["lang_tokens"])
-    out = sample(*args, jax.random.PRNGKey(0))
-    jax.block_until_ready(out)
+    np.asarray(sample(*args, jax.random.PRNGKey(0)))
     lat = []
     for i in range(20):
         t0 = time.perf_counter()
-        out = sample(*args, jax.random.PRNGKey(i))
-        jax.block_until_ready(out)
+        np.asarray(sample(*args, jax.random.PRNGKey(i)))  # fetch the chunk
         lat.append(time.perf_counter() - t0)
     p50 = float(np.median(lat)) * 1e3
-    print(f"10-step DDIM sampling p50: {p50:.1f} ms (target < 30 ms)",
+    print(f"10-step DDIM closed-loop p50 (incl. D2H fetch): {p50:.1f} ms "
+          f"(target < 30 ms; tunnel RTT-bound here — compute is ~1 ms)",
           file=sys.stderr)
 
-    # --- tertiary: disk-backed input-pipeline throughput (VERDICT r1 #4) ---
-    disk = None
+    # --- denoiser-only trainable step (precomputed embeddings): the
+    # action-chunk learner itself, without the frozen towers ---
+    denoiser_cps = None
     try:
-        import shutil
-        import tempfile
-        from pathlib import Path
-        from mdt_policy_tpu.data.bench_loader import bench as loader_bench, generate_dataset
-        from mdt_policy_tpu.data.extract import extract_by_key, extract_frames
-        tmp = tempfile.mkdtemp(prefix="mdt_bench_disk_")
-        root = generate_dataset(Path(tmp), 1500)
-        extract_by_key(root)
-        extract_frames(root)
-        disk = loader_bench(root, batch_size=128, steps=40)
-        shutil.rmtree(tmp, ignore_errors=True)
-        print(f"disk input pipeline: {disk['chunks_per_sec']:.0f} chunks/s "
-              f"({disk['num_workers']} worker(s))", file=sys.stderr)
-    except Exception as e:  # bench must never fail on the aux metric
-        print(f"disk loader bench skipped: {e}", file=sys.stderr)
+        denoiser_cps = _denoiser_only_bench(cfg, state.params["inner"], B=512)
+        print(f"denoiser-only train step: {denoiser_cps:.0f} chunks/s",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"denoiser-only bench skipped: {e}", file=sys.stderr)
+
+    # --- disk-backed input-pipeline throughput (VERDICT r1 #4) ---
+    disk = None
+    if os.environ.get("MDT_BENCH_SKIP_DISK") != "1":
+        try:
+            import shutil
+            import tempfile
+            from pathlib import Path
+            from mdt_policy_tpu.data.bench_loader import bench as loader_bench, generate_dataset
+            from mdt_policy_tpu.data.extract import extract_by_key, extract_frames
+            tmp = tempfile.mkdtemp(prefix="mdt_bench_disk_")
+            root = generate_dataset(Path(tmp), 1500)
+            extract_by_key(root)
+            extract_frames(root)
+            disk = loader_bench(root, batch_size=128, steps=40)
+            shutil.rmtree(tmp, ignore_errors=True)
+            print(f"disk input pipeline: {disk['chunks_per_sec']:.0f} chunks/s "
+                  f"({disk['num_workers']} worker(s))", file=sys.stderr)
+        except Exception as e:  # bench must never fail on the aux metric
+            print(f"disk loader bench skipped: {e}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "mdtv_train_chunks_per_sec_per_chip",
@@ -120,12 +163,80 @@ def main():
         "unit": "chunks/s/chip",
         "vs_baseline": round(chunks_per_sec / 5000.0, 3),
         "extras": {
-            "ddim10_p50_ms": round(p50, 2),
+            "barrier": "device_get(param leaf) — see docs/BENCHMARKING.md",
+            "flops_per_step_tflop": round(flops / 1e12, 2) if flops else None,
+            "mxu_utilization_pct": round(mxu_pct, 1) if mxu_pct else None,
+            "physical_ceiling_chunks_per_sec":
+                round(2 * B * V5E_PEAK_FLOPS / flops, 0) if flops else None,
+            "ddim10_closed_loop_p50_ms": round(p50, 2),
+            "denoiser_only_chunks_per_sec":
+                round(denoiser_cps, 1) if denoiser_cps else None,
             "disk_loader_chunks_per_sec":
                 round(disk["chunks_per_sec"], 1) if disk else None,
             "disk_loader_workers": disk["num_workers"] if disk else None,
         },
     }))
+
+
+def _denoiser_only_bench(cfg, inner_params, B: int = 512) -> float:
+    """Train-step throughput of the trainable denoiser alone on precomputed
+    perceiver/goal embeddings (the regime the >=5k chunks/s target is
+    physically reachable in — the full step's frozen towers alone cost
+    ~75 TFLOP at B=512, capping one v5e chip at ~2.7k chunks/s)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from mdt_policy_tpu.diffusion import make_sample_density
+    from mdt_policy_tpu.diffusion.precond import append_dims, get_scalings
+    from mdt_policy_tpu.models.mdtv_transformer import MDTVTransformer
+
+    rng = np.random.default_rng(1)
+    inner = MDTVTransformer(
+        obs_dim=cfg.obs_dim, goal_dim=cfg.goal_dim, action_dim=cfg.action_dim,
+        proprio_dim=cfg.proprio_dim, embed_dim=cfg.embed_dim,
+        n_enc_layers=cfg.n_enc_layers, n_dec_layers=cfg.n_dec_layers,
+        n_heads=cfg.n_heads, goal_seq_len=cfg.goal_seq_len,
+        obs_seq_len=cfg.obs_seq_len, n_obs_token=cfg.num_latents,
+        action_seq_len=cfg.act_window_size, attn_pdrop=cfg.attn_pdrop,
+        resid_pdrop=cfg.resid_pdrop, mlp_pdrop=cfg.mlp_pdrop,
+        use_ada_conditioning=cfg.use_ada_conditioning)
+    emb = {"state_images": jnp.asarray(rng.normal(size=(B, 3, cfg.latent_dim)),
+                                       jnp.float32)}
+    goal = jnp.asarray(rng.normal(size=(B, 1, cfg.goal_dim)), jnp.float32)
+    actions = jnp.asarray(rng.normal(size=(B, 10, 7)), jnp.float32)
+    tx = optax.adamw(1e-4)
+    opt_state = tx.init(inner_params)
+    density = make_sample_density(cfg.sigma_sample_density_type, cfg.sigma_data,
+                                  cfg.sigma_min, cfg.sigma_max)
+    key = jax.random.PRNGKey(7)
+
+    def step(params, opt_state, k):
+        k_s, k_n, k_d = jax.random.split(k, 3)
+        sigmas = density(k_s, (B,))
+        noise = jax.random.normal(k_n, actions.shape)
+        c_skip, c_out, c_in = (append_dims(s, 3)
+                               for s in get_scalings(sigmas, cfg.sigma_data))
+        noised = actions + noise * append_dims(sigmas, 3)
+
+        def loss_fn(p):
+            pred, _ = inner.apply({"params": p}, emb, noised * c_in, goal,
+                                  sigmas, modality="lang", train=True,
+                                  rngs={"dropout": k_d})
+            return jnp.mean(jnp.square(pred - (actions - c_skip * noised) / c_out))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    jitted = jax.jit(step, donate_argnums=(0, 1))
+    params, opt_state, _ = jitted(inner_params, opt_state, key)
+    np.asarray(params["tok_emb"]["kernel"])
+    n = 20
+    t0 = time.perf_counter()
+    for i in range(n):
+        params, opt_state, _ = jitted(params, opt_state, jax.random.fold_in(key, i))
+    np.asarray(params["tok_emb"]["kernel"])
+    return B / ((time.perf_counter() - t0) / n)
 
 
 if __name__ == "__main__":

@@ -116,3 +116,6 @@ class MDTVConfig:
     # recompute the perceiver in backward (jax.checkpoint) — frees the
     # 392-token K/V residuals that dominate HBM at large batch
     remat_perceiver: bool = True
+    # run both cameras through the frozen ViT as ONE batched call (numerically
+    # identical: the same weights apply per-sample); halves kernel launches
+    fuse_camera_batch: bool = True

@@ -146,8 +146,15 @@ class MDTVAgentNet(nn.Module):
         # tokens STAY in compute dtype into the perceiver (bf16 halves the
         # 392-token grid residency — the round-1 B=1024 OOM hog); the
         # perceiver computes in compute_dtype and returns float32 latents
-        static_tokens = self.img_encoder(flat_s.astype(cdt))
-        gripper_tokens = self.img_encoder(flat_g.astype(cdt))
+        if self.cfg.fuse_camera_batch:
+            # one ViT call over [static; gripper] — same weights per-sample,
+            # half the kernel launches, 2x the per-matmul batch
+            both = self.img_encoder(
+                jnp.concatenate([flat_s, flat_g], axis=0).astype(cdt))
+            static_tokens, gripper_tokens = jnp.split(both, 2, axis=0)
+        else:
+            static_tokens = self.img_encoder(flat_s.astype(cdt))
+            gripper_tokens = self.img_encoder(flat_g.astype(cdt))
         if self.cfg.freeze_img_encoder:
             static_tokens = jax.lax.stop_gradient(static_tokens)
             gripper_tokens = jax.lax.stop_gradient(gripper_tokens)

@@ -128,3 +128,24 @@ def test_policy_protocol_and_sampling(world):
     assert actions[0].shape == (B, 7)
     # chunk of 10 replayed, step 10 re-plans; counter wraps at multistep
     assert policy.rollout_step_counter == 2
+
+
+def test_fused_camera_batch_matches_separate(world):
+    """fuse_camera_batch runs both cameras through ONE ViT call; the same
+    weights apply per-sample so the embeddings must match the two-call path."""
+    import dataclasses
+    from mdt_policy_tpu.agents.mdtv_agent import MDTVAgentNet
+
+    net, state, batch = world["net"], world["state0"], world["batch"]
+    b = batch["lang"]
+    args = (b["rgb_static"][:, :-1], b["rgb_gripper"][:, :-1])
+    nets = {
+        flag: MDTVAgentNet(dataclasses.replace(TINY, fuse_camera_batch=flag))
+        for flag in (False, True)
+    }
+    outs = {
+        flag: np.asarray(n.apply({"params": state.params}, *args,
+                                 method="compute_voltron_embeddings")["state_images"])
+        for flag, n in nets.items()
+    }
+    np.testing.assert_allclose(outs[True], outs[False], rtol=1e-6, atol=1e-6)

@@ -112,3 +112,24 @@ def test_multistep_validation():
     net, state = init_agent(cfg, jax.random.PRNGKey(0), example)
     with pytest.raises(ValueError, match="multistep"):
         MDTVPolicy(net, state.params)
+
+
+def test_sweep_mode(tmp_path):
+    """--sweep-* grid mode: one benchmark per sampler/steps/sigma_min combo,
+    incremental sweep_results.json, best combo reported (the reference's
+    sweep.yaml surface)."""
+    import json
+
+    train(_tiny_run(tmp_path, "mdtv", "sweeprun"))
+    run_dir = tmp_path / "sweeprun"
+
+    from mdt_policy_tpu.evaluate import main
+    from mdt_policy_tpu.evaluation import get_sequences
+    get_sequences.cache_clear()
+    main(["--train-folder", str(run_dir), "--fake-env",
+          "--num-sequences", "1", "--ep-len", "2",
+          "--sweep-sampler", "ddim", "euler", "--sweep-steps", "2"])
+    table = json.loads((run_dir / "evaluation" / "sweep_results.json").read_text())
+    assert len(table) == 2
+    assert {r["sampler"] for r in table} == {"ddim", "euler"}
+    assert all(r["steps"] == 2 for r in table)
