@@ -119,3 +119,7 @@ class MDTVConfig:
     # run both cameras through the frozen ViT as ONE batched call (numerically
     # identical: the same weights apply per-sample); halves kernel launches
     fuse_camera_batch: bool = True
+    # Pallas fused qkv-attention in the frozen towers
+    # (ops/fused_qkv_attention.py): "auto" = on for TPU backends, off
+    # elsewhere; measured 1.5x on the Voltron tower (docs/PALLAS.md)
+    fused_tower_attention: str = "auto"

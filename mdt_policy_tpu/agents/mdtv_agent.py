@@ -57,6 +57,19 @@ Batch = Dict[str, jax.Array]
 FROZEN_PREFIXES = ("visual_goal", "language_goal", "img_encoder")
 
 
+def resolve_fused_attention(cfg) -> bool:
+    """Resolve the fused_tower_attention tri-state ("auto"/True/False).
+
+    Auto enables the Pallas kernel on TPU backends only — on CPU (tests,
+    virtual meshes) the XLA einsum path runs instead; both paths compute
+    identical math (ops/fused_qkv_attention.py `_reference`)."""
+    flag = getattr(cfg, "fused_tower_attention", "auto")
+    if flag == "auto":
+        import jax
+        return jax.default_backend() not in ("cpu", "gpu")
+    return bool(flag)
+
+
 def split_params(params, frozen_prefixes=FROZEN_PREFIXES):
     """Partition the param tree into (trainable, frozen) top-level subtrees.
 
@@ -75,9 +88,11 @@ class MDTVAgentNet(nn.Module):
 
     def setup(self):
         c = self.cfg
+        fused_attn = resolve_fused_attention(c)
         self.img_encoder = VoltronViT(
             patch_size=c.vit_patch, embed_dim=c.perceiver_dim, depth=c.vit_depth,
-            n_heads=c.vit_heads, img_size=c.img_size, name="img_encoder")
+            n_heads=c.vit_heads, img_size=c.img_size,
+            fused_attention=fused_attn, name="img_encoder")
         # remat: the perceiver's K/V activations over the 392-token voltron
         # grid dominate backward memory at production batch; recompute-in-
         # backward trades a cheap re-forward for ~GBs of residuals
@@ -91,12 +106,13 @@ class MDTVAgentNet(nn.Module):
         self.visual_goal = CLIPVisionTower(
             embed_dim=c.clip_embed_dim, image_resolution=c.img_size,
             layers=c.clip_vision_layers, width=c.clip_vision_width,
-            patch_size=c.clip_vision_patch, name="visual_goal")
+            patch_size=c.clip_vision_patch, fused_attention=fused_attn,
+            name="visual_goal")
         self.language_goal = CLIPTextTower(
             embed_dim=c.clip_embed_dim, context_length=c.clip_context_length,
             vocab_size=c.clip_vocab_size, width=c.clip_text_width,
             heads=c.clip_text_heads, layers=c.clip_text_layers,
-            name="language_goal")
+            fused_attention=fused_attn, name="language_goal")
         self.inner = MDTVTransformer(
             obs_dim=c.obs_dim, goal_dim=c.goal_dim, action_dim=c.action_dim,
             proprio_dim=c.proprio_dim, embed_dim=c.embed_dim,

@@ -50,19 +50,27 @@ class ResidualAttentionBlock(nn.Module):
     width: int
     heads: int
     causal: bool = False
+    fused_kernel: bool = False
 
     @nn.compact
     def __call__(self, x):
         B, T, C = x.shape
         h = nn.LayerNorm(epsilon=1e-5, name="ln_1")(x)
         qkv = nn.Dense(3 * C, name="in_proj")(h)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        hd = C // self.heads
-        q = q.reshape(B, T, self.heads, hd).transpose(0, 2, 1, 3)
-        k = k.reshape(B, T, self.heads, hd).transpose(0, 2, 1, 3)
-        v = v.reshape(B, T, self.heads, hd).transpose(0, 2, 1, 3)
-        attn = sdpa(q, k, v, causal=self.causal)
-        attn = attn.transpose(0, 2, 1, 3).reshape(B, T, C)
+        if self.fused_kernel:
+            # Pallas: per-head slicing + scores + softmax + PV in VMEM off
+            # the packed qkv tensor (ops/fused_qkv_attention.py)
+            from mdt_policy_tpu.ops.fused_qkv_attention import fused_qkv_attention
+            attn = fused_qkv_attention(qkv, self.heads, self.causal)
+        else:
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            hd = C // self.heads
+            # bthd layout: contract head-interleaved tensors directly (no
+            # transpose copies — tower-scale HBM savings, identical numerics)
+            q = q.reshape(B, T, self.heads, hd)
+            k = k.reshape(B, T, self.heads, hd)
+            v = v.reshape(B, T, self.heads, hd)
+            attn = sdpa(q, k, v, causal=self.causal, layout="bthd").reshape(B, T, C)
         x = x + nn.Dense(C, name="out_proj")(attn)
         h = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
         h = nn.Dense(4 * C, name="c_fc")(h)
@@ -79,6 +87,7 @@ class CLIPVisionTower(nn.Module):
     width: int = 768
     patch_size: int = 16
     heads: int = 0  # 0 -> width // 64 (the OpenAI convention)
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, images: jax.Array) -> jax.Array:
@@ -99,6 +108,7 @@ class CLIPVisionTower(nn.Module):
         heads = self.heads or max(self.width // 64, 1)
         for i in range(self.layers):
             x = ResidualAttentionBlock(self.width, heads,
+                                       fused_kernel=self.fused_attention,
                                        name=f"resblock_{i}")(x)
         x = nn.LayerNorm(epsilon=1e-5, name="ln_post")(x[:, 0, :])
         proj = self.param("proj", nn.initializers.normal(scale),
@@ -115,6 +125,7 @@ class CLIPTextTower(nn.Module):
     width: int = 512
     heads: int = 8
     layers: int = 12
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, tokens: jax.Array) -> jax.Array:
@@ -128,6 +139,7 @@ class CLIPTextTower(nn.Module):
         x = x + pos[None]
         for i in range(self.layers):
             x = ResidualAttentionBlock(self.width, self.heads, causal=True,
+                                       fused_kernel=self.fused_attention,
                                        name=f"resblock_{i}")(x)
         x = nn.LayerNorm(epsilon=1e-5, name="ln_final")(x)
         # pool at EOT token = highest token id per sequence

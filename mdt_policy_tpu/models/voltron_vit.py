@@ -95,18 +95,27 @@ class _ViTAttention(nn.Module):
     """Fused-QKV multi-head attention (timm/Voltron layout for weight porting)."""
     dim: int
     n_heads: int
+    fused_kernel: bool = False
 
     @nn.compact
     def __call__(self, x):
         B, T, C = x.shape
         hd = C // self.n_heads
         qkv = nn.Dense(3 * C, use_bias=True, name="qkv")(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(B, T, self.n_heads, hd).transpose(0, 2, 1, 3)
-        k = k.reshape(B, T, self.n_heads, hd).transpose(0, 2, 1, 3)
-        v = v.reshape(B, T, self.n_heads, hd).transpose(0, 2, 1, 3)
-        y = sdpa(q, k, v)
-        y = y.transpose(0, 2, 1, 3).reshape(B, T, C)
+        if self.fused_kernel:
+            # Pallas: per-head slicing + scores + softmax + PV all in VMEM,
+            # straight off the packed qkv tensor (ops/fused_qkv_attention.py)
+            from mdt_policy_tpu.ops.fused_qkv_attention import fused_qkv_attention
+            y = fused_qkv_attention(qkv, self.n_heads)
+        else:
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            # bthd layout: no head transposes — the einsum attention contracts
+            # the interleaved tensors directly (saves 4 full-activation copies
+            # per layer at tower scale)
+            q = q.reshape(B, T, self.n_heads, hd)
+            k = k.reshape(B, T, self.n_heads, hd)
+            v = v.reshape(B, T, self.n_heads, hd)
+            y = sdpa(q, k, v, layout="bthd").reshape(B, T, C)
         return nn.Dense(C, use_bias=True, name="proj")(y)
 
 
@@ -120,12 +129,15 @@ class VoltronBlock(nn.Module):
     do_rms_norm: bool = True
     do_swish_glu: bool = True
     do_layer_scale: bool = True
+    fused_kernel: bool = False
 
     @nn.compact
     def __call__(self, x):
         norm = (lambda n: RMSNorm(name=n)) if self.do_rms_norm else \
                (lambda n: nn.LayerNorm(epsilon=1e-6, name=n))
-        attn_out = _ViTAttention(self.dim, self.n_heads, name="attn")(norm("norm1")(x))
+        attn_out = _ViTAttention(self.dim, self.n_heads,
+                         fused_kernel=self.fused_kernel,
+                         name="attn")(norm("norm1")(x))
         if self.do_layer_scale:
             attn_out = LayerScale(self.dim, name="ls1")(attn_out)
         x = x + attn_out
@@ -151,6 +163,7 @@ class VoltronViT(nn.Module):
     n_heads: int = 6
     mlp_ratio: float = 4.0
     img_size: int = 224
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, images: jax.Array) -> jax.Array:
@@ -163,5 +176,6 @@ class VoltronViT(nn.Module):
         x = x + jnp.asarray(pe, x.dtype)[None]
         for i in range(self.depth):
             x = VoltronBlock(self.embed_dim, self.n_heads, self.mlp_ratio,
+                             fused_kernel=self.fused_attention,
                              name=f"block_{i}")(x)
         return nn.LayerNorm(epsilon=1e-6, name="norm")(x)

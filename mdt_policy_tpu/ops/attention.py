@@ -33,8 +33,16 @@ def sdpa(
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
     deterministic: bool = True,
+    layout: str = "bhtd",
 ) -> jax.Array:
-    """Attention over (B, H, T, D) tensors.
+    """Attention over (B, H, T, D) tensors (layout="bhtd", default) or
+    (B, T, H, D) tensors (layout="bthd").
+
+    The "bthd" layout computes q/k/v contractions directly on the
+    head-interleaved tensors — no (B,T,H,D)->(B,H,T,D) transpose copies in
+    or out. For the frozen ViT towers (196-token grids at thousands of
+    images) those four transposes are ~0.6 GB of pure HBM traffic per layer;
+    the einsum form lets XLA feed the dots without them.
 
     mask: optional boolean array broadcastable to (B, H, Tq, Tk); True = keep.
 
@@ -52,19 +60,34 @@ def sdpa(
     numerics-tested standalone kernel.
     """
     drop_active = dropout_rate > 0.0 and not deterministic
-    *_, q_len, head_dim = q.shape
-    k_len = k.shape[-2]
+    if layout == "bthd":
+        q_len, k_len = q.shape[-3], k.shape[-3]
+        head_dim = q.shape[-1]
+        qk_eq, av_eq = "bqhd,bkhd->bhqk", "bhqk,bkhd->bqhd"
+    else:
+        q_len, k_len = q.shape[-2], k.shape[-2]
+        head_dim = q.shape[-1]
+        qk_eq, av_eq = "...qd,...kd->...qk", "...qk,...kd->...qd"
     scale = head_dim ** -0.5
-    scores = jnp.einsum("...qd,...kd->...qk", q, k).astype(jnp.float32) * scale
+    low_precision = q.dtype in (jnp.bfloat16, jnp.float16)
+    if low_precision:
+        # materialize the score matrix in the compute dtype — softmax still
+        # accumulates in float32 (the astype below fuses into the softmax
+        # pass, so f32 lives in registers only). Halves the dominant HBM
+        # traffic of large-seq attention; for f32 inputs the exact reference
+        # numerics are preserved.
+        scores = jnp.einsum(qk_eq, q, k) * jnp.asarray(scale, q.dtype)
+    else:
+        scores = jnp.einsum(qk_eq, q, k).astype(jnp.float32) * scale
     if causal:
         cmask = causal_mask(q_len, k_len)
         mask = cmask if mask is None else jnp.logical_and(mask, cmask)
     if mask is not None:
-        scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
-    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        scores = jnp.where(mask, scores, jnp.finfo(scores.dtype).min)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
     if drop_active:
         if dropout_rng is None:
             raise ValueError("sdpa dropout needs an explicit dropout_rng")
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
         probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0).astype(q.dtype)
-    return jnp.einsum("...qk,...kd->...qd", probs, v)
+    return jnp.einsum(av_eq, probs, v)

@@ -13,8 +13,11 @@ Usage:  python tools/perf_probe.py [B]   (default B=512 per modality)
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from functools import partial
 
 import numpy as np
