@@ -96,3 +96,65 @@ def test_sdpa_bthd_layout_matches_bhtd():
         bc = sdpa(q, k, v, layout="bthd", causal=True).transpose(0, 2, 1, 3)
         np.testing.assert_allclose(np.asarray(ac, np.float32),
                                    np.asarray(bc, np.float32), rtol=tol, atol=1e-2)
+
+
+# ---------------------------------------------------------------------------
+# Experimental half-block kernels (ops/attention_halfblock.py,
+# ops/mlp_halfblock.py): measured SLOWER than the stage-1 qkv kernel on the
+# real chip (docs/PALLAS.md) and therefore NOT routed into the towers, but
+# kept numerics-tested so the experiment is reproducible.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("norm,causal,has_gamma", [
+    ("rms", False, True),     # voltron attention half
+    ("ln", True, False),      # CLIP text attention half
+])
+def test_attention_halfblock_matches_reference(norm, causal, has_gamma):
+    from mdt_policy_tpu.ops.attention_halfblock import (
+        _reference as hb_ref, attention_halfblock)
+    rng = np.random.default_rng(0)
+    B, T, C, H = 4, 13, 24, 3
+    x = jnp.asarray(rng.normal(size=(B, T, C)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(C,)) + 1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(C,)), jnp.float32) if norm == "ln" else None
+    wq = jnp.asarray(rng.normal(size=(C, 3 * C)) * 0.05, jnp.float32)
+    bq = jnp.asarray(rng.normal(size=(3 * C,)) * 0.05, jnp.float32)
+    wp = jnp.asarray(rng.normal(size=(C, C)) * 0.05, jnp.float32)
+    bp = jnp.asarray(rng.normal(size=(C,)) * 0.05, jnp.float32)
+    gam = jnp.asarray(rng.normal(size=(C,)) * 0.1, jnp.float32) if has_gamma else None
+    eps = 1e-8 if norm == "rms" else 1e-5
+    out = attention_halfblock(x, g, b, wq, bq, wp, bp, gam, H, norm, eps,
+                              causal, 2, True)
+    ref = hb_ref(x, g, b, wq, bq, wp, bp, gam, H, norm, eps, causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    gr = jax.grad(lambda x_: jnp.sum(attention_halfblock(
+        x_, g, b, wq, bq, wp, bp, gam, H, norm, eps, causal, 2, True) ** 2))(x)
+    grr = jax.grad(lambda x_: jnp.sum(hb_ref(
+        x_, g, b, wq, bq, wp, bp, gam, H, norm, eps, causal) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gr), np.asarray(grr),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("act,norm,has_gamma,ht", [
+    ("swishglu", "rms", True, 16),   # voltron MLP half
+    ("quickgelu", "ln", False, 32),  # CLIP MLP half
+])
+def test_mlp_halfblock_matches_reference(act, norm, has_gamma, ht):
+    from mdt_policy_tpu.ops.mlp_halfblock import _reference as mlp_ref, mlp_halfblock
+    rng = np.random.default_rng(1)
+    B, T, C, H = 3, 9, 16, 32
+    x = jnp.asarray(rng.normal(size=(B, T, C)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(C,)) + 1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(C,)), jnp.float32) if norm == "ln" else None
+    w1w = 2 * H if act == "swishglu" else H
+    w1 = jnp.asarray(rng.normal(size=(C, w1w)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(w1w,)) * 0.05, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(H, C)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(C,)) * 0.05, jnp.float32)
+    gam = jnp.asarray(rng.normal(size=(C,)) * 0.1, jnp.float32) if has_gamma else None
+    eps = 1e-8 if norm == "rms" else 1e-5
+    out = mlp_halfblock(x, g, b, w1, b1, w2, b2, gam, act, norm, eps, ht, 2, True)
+    ref = mlp_ref(x, g, b, w1, b1, w2, b2, gam, act, norm, eps)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
