@@ -68,8 +68,10 @@ def run(B: int, remat: bool) -> None:
               + f"compile {compile_s:.0f}s  (loops: "
               + ", ".join(f"{d*1e3:.0f}" for d in dts) + ")", flush=True)
     except Exception as e:
+        detail = "\n".join(l for l in str(e).splitlines()
+                           if not l.lstrip().startswith("[2m"))[:3000]
         print(f"B={B:5d} remat={int(remat)}  FAILED: {type(e).__name__}: "
-              f"{str(e).splitlines()[0][:150]}", flush=True)
+              f"{detail}", flush=True)
 
 
 def main():
