@@ -33,6 +33,14 @@ V5E_PEAK_FLOPS = 197e12  # bf16, one v5e chip
 
 def main():
     import jax
+    # persistent compile cache: the production step takes ~3-12 min to
+    # build cold on this 1-core host; warm-cache reruns load in seconds
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                         "/root/.cache/jaxcomp"))
+    except Exception:
+        pass
     import jax.numpy as jnp
     from mdt_policy_tpu.agents import MDTVConfig, init_agent, train_step
     from mdt_policy_tpu.agents.mdtv_agent import denoise_actions
