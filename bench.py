@@ -145,12 +145,14 @@ def main():
     # end — what a policy co-located with its TPU (the production
     # deployment) would see
     out = sample(*args, jax.random.PRNGKey(0), zero)
-    t0 = time.perf_counter()
-    n_chain = 20
-    for i in range(n_chain):
-        out = sample(*args, jax.random.PRNGKey(i), out)
-    np.asarray(out)
-    device_ms = (time.perf_counter() - t0) / n_chain * 1e3
+    n_chain, chain_ms = 20, []
+    for rep in range(2):  # best-of-2: guards against transient tunnel stalls
+        t0 = time.perf_counter()
+        for i in range(n_chain):
+            out = sample(*args, jax.random.PRNGKey(i), out)
+        np.asarray(out)
+        chain_ms.append((time.perf_counter() - t0) / n_chain * 1e3)
+    device_ms = min(chain_ms)
     print(f"10-step DDIM device-side latency (chained, no per-call RTT): "
           f"{device_ms:.2f} ms", file=sys.stderr)
 
@@ -163,6 +165,21 @@ def main():
               file=sys.stderr)
     except Exception as e:
         print(f"denoiser-only bench skipped: {e}", file=sys.stderr)
+
+    # --- the MDT (non-V) family: ResNet18-GN cameras, 512-d denoiser ---
+    mdt_cps = None
+    if os.environ.get("MDT_BENCH_SKIP_MDT") != "1":
+        try:
+            # free the MDT-V model/optimizer/batch HBM first — both
+            # families at production size do not fit the 16 G chip together
+            import gc
+            del state, batch, b1, args, out, jitted, sample
+            gc.collect()
+            mdt_cps = _mdt_bench(make_batch, B=256)
+            print(f"MDT (ResNet) full train step: {mdt_cps:.0f} chunks/s",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"MDT bench skipped: {e}", file=sys.stderr)
 
     # --- disk-backed input-pipeline throughput (VERDICT r1 #4) ---
     disk = None
@@ -199,11 +216,37 @@ def main():
             "ddim10_device_side_ms": round(device_ms, 2),
             "denoiser_only_chunks_per_sec":
                 round(denoiser_cps, 1) if denoiser_cps else None,
+            "mdt_resnet_chunks_per_sec":
+                round(mdt_cps, 1) if mdt_cps else None,
             "disk_loader_chunks_per_sec":
                 round(disk["chunks_per_sec"], 1) if disk else None,
             "disk_loader_workers": disk["num_workers"] if disk else None,
         },
     }))
+
+
+def _mdt_bench(make_batch, B: int = 256) -> float:
+    """Full dual-modality train step of the MDT variant (trainable
+    ResNet18-GN per-camera encoders + frozen CLIP goal towers + 512-d
+    4/6-layer denoiser — the reference's second model family)."""
+    import jax
+    from mdt_policy_tpu.agents import MDTConfig, init_mdt_agent, train_step
+
+    batch = make_batch(B)
+    net, state = init_mdt_agent(MDTConfig(), jax.random.PRNGKey(0),
+                                batch["lang"])
+    jitted = jax.jit(partial(train_step, net), donate_argnums=(0,))
+    key = jax.random.PRNGKey(3)
+    state, _ = jitted(state, batch, key)
+    np.asarray(state.params["inner"]["tok_emb"]["kernel"][0, 0])
+    dts = []
+    for rep in range(2):
+        t0 = time.perf_counter()
+        for i in range(4):
+            state, _ = jitted(state, batch, jax.random.fold_in(key, rep * 4 + i))
+        np.asarray(state.params["inner"]["tok_emb"]["kernel"][0, 0])
+        dts.append((time.perf_counter() - t0) / 4)
+    return 2 * B / min(dts)
 
 
 def _denoiser_only_bench(cfg, inner_params, B: int = 512) -> float:
