@@ -33,14 +33,8 @@ V5E_PEAK_FLOPS = 197e12  # bf16, one v5e chip
 
 def main():
     import jax
-    # persistent compile cache: the production step takes ~3-12 min to
-    # build cold on this 1-core host; warm-cache reruns load in seconds
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                         "/root/.cache/jaxcomp"))
-    except Exception:
-        pass
+    from mdt_policy_tpu.utils.misc import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
     from mdt_policy_tpu.agents import MDTVConfig, init_agent, train_step
     from mdt_policy_tpu.agents.mdtv_agent import denoise_actions
@@ -121,8 +115,8 @@ def main():
         # INSIDE the jitted program so chained timing loops create a data
         # dependency without any eager per-op tunnel dispatches
         emb = net.apply({"params": params},
-                        rs + jnp.reshape(carry, (-1,))[0] * 0, rg,
-                        method="compute_voltron_embeddings")
+                        rs + (jnp.reshape(carry, (-1,))[0] * 0).astype(rs.dtype),
+                        rg, method="compute_voltron_embeddings")
         goal = net.apply({"params": params}, toks, method="encode_language_goal")
         return denoise_actions(net, params, emb, goal, k, modality="lang")
 

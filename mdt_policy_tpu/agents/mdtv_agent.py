@@ -66,7 +66,7 @@ def resolve_fused_attention(cfg) -> bool:
     flag = getattr(cfg, "fused_tower_attention", "auto")
     if flag == "auto":
         import jax
-        return jax.default_backend() not in ("cpu", "gpu")
+        return jax.default_backend() == "tpu"
     return bool(flag)
 
 

@@ -87,3 +87,19 @@ def get_portion_of_batch_ids(percentage: float, batch_size: int) -> np.ndarray:
         return np.array([], dtype=int)
     indices = np.linspace(0, batch_size - 1, num)
     return np.unique(np.round(indices).astype(int))
+
+
+def enable_compile_cache(default_dir: str = "/root/.cache/jaxcomp") -> None:
+    """Point JAX at a persistent compilation cache (full-size programs take
+    minutes to build cold on a 1-core host; warm reruns load in seconds).
+    Honors JAX_COMPILATION_CACHE_DIR; silently a no-op if the config knob is
+    unavailable."""
+    import os
+
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                         default_dir))
+    except Exception:
+        pass

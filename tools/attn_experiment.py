@@ -4,9 +4,6 @@ Compares the production attention paths inside the frozen towers at
 production shape — the measurements behind docs/PALLAS.md:
   none       XLA sdpa (bthd layout, bf16 score materialization)
   qkv        ops/fused_qkv_attention.py Pallas kernel (production on TPU)
-  halfblock  ops/attention_halfblock.py experiment (measured slower; only
-             runs for the Voltron tower — CLIP's T=197 trips a Mosaic
-             reshape limitation)
 
 Usage: python tools/attn_experiment.py [n_voltron_images] [n_clip_images]
 """
@@ -61,8 +58,8 @@ def main():
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
     ref = None
     for mode in ("none", "qkv"):
-        out = bench(f"voltron[{mode}]", VoltronViT(fused_attention=mode),
-                    imgs, params)
+        out = bench(f"voltron[{mode}]",
+                    VoltronViT(fused_attention=(mode == "qkv")), imgs, params)
         if out is not None and ref is not None:
             print(f"   max|diff| vs none: {np.max(np.abs(out - ref)):.5f}")
         ref = ref if ref is not None else out
@@ -73,7 +70,8 @@ def main():
     ref = None
     for mode in ("none", "qkv"):
         out = bench(f"clip_vision[{mode}]",
-                    CLIPVisionTower(fused_attention=mode), cimgs, cp)
+                    CLIPVisionTower(fused_attention=(mode == "qkv")),
+                    cimgs, cp)
         if out is not None and ref is not None:
             print(f"   max|diff| vs none: {np.max(np.abs(out - ref)):.5f}")
         ref = ref if ref is not None else out

@@ -69,7 +69,7 @@ def run(B: int, remat: bool) -> None:
               + ", ".join(f"{d*1e3:.0f}" for d in dts) + ")", flush=True)
     except Exception as e:
         detail = "\n".join(l for l in str(e).splitlines()
-                           if not l.lstrip().startswith("[2m"))[:3000]
+                           if "\x1b[2m" not in l)[:3000]
         print(f"B={B:5d} remat={int(remat)}  FAILED: {type(e).__name__}: "
               f"{detail}", flush=True)
 
