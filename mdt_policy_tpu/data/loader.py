@@ -35,7 +35,8 @@ import jax.numpy as jnp
 
 from .transforms import preprocess_rgb_eval, preprocess_rgb_train
 
-__all__ = ["collate", "BatchLoader", "DualStreamLoader", "Preprocessor"]
+__all__ = ["collate", "BatchLoader", "DualStreamLoader", "Preprocessor",
+           "DevicePrefetcher"]
 
 
 def collate(samples) -> Dict[str, np.ndarray]:
@@ -170,6 +171,66 @@ class DualStreamLoader:
     def close(self):
         self.vis.close()
         self.lang.close()
+
+
+class DevicePrefetcher:
+    """Keep `depth` device-resident batches ahead of the training loop.
+
+    A background thread pulls raw host batches, runs the caller's
+    `device_fn(key, raw)` (shard/device_put + jitted preprocessing — all
+    asynchronous JAX dispatch, so the H2D DMA and the tiny preprocessing
+    program execute while the main thread's train step occupies the chip)
+    and parks the resulting on-device batch in a bounded queue. This turns
+    the per-step sequence  decode -> transfer -> compute  into a 3-stage
+    pipeline: the loader thread decodes batch N+2, this thread transfers
+    batch N+1, the chip computes batch N. Without it the host sits inside
+    `device_put` for the full transfer time of every batch (the reference's
+    equivalent is torch `pin_memory` + `non_blocking` copies,
+    hulc_data_module.py:136-147 — but those still serialize with Python).
+
+    Per-batch augmentation keys are derived as fold_in(key, i) over the
+    running batch index, so the stream stays deterministic for a fixed seed
+    regardless of pipeline depth.
+    """
+
+    def __init__(self, raw_iter, device_fn, key, *, depth: int = 2):
+        self._iter = raw_iter
+        self._fn = device_fn
+        self._key = key
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True,
+                                        name="mdt-device-prefetch")
+        self._thread.start()
+
+    def _worker(self):
+        try:
+            i = 0
+            for raw in self._iter:
+                if self._stop.is_set():
+                    return
+                out = self._fn(jax.random.fold_in(self._key, i), raw)
+                i += 1
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(out, timeout=1.0)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:  # propagate to the consumer, don't hang it
+            self._q.put(e)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if isinstance(item, BaseException):
+            raise item
+        return item
+
+    def close(self):
+        self._stop.set()
 
 
 class Preprocessor:

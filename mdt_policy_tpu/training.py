@@ -237,7 +237,7 @@ def train(cfg: RunConfig):
     from mdt_policy_tpu.agents import init_agent as init_mdtv, train_step
     from mdt_policy_tpu.agents.mdt_agent import init_agent as init_mdt
     from mdt_policy_tpu.agents.mdtv_agent import validation_step
-    from mdt_policy_tpu.data.loader import Preprocessor
+    from mdt_policy_tpu.data.loader import DevicePrefetcher, Preprocessor
     from mdt_policy_tpu.parallel import make_mesh, replicate_tree, shard_batch
     from mdt_policy_tpu.utils.checkpoint import Checkpointer, latest_checkpoint
     from mdt_policy_tpu.utils.logging_utils import MetricsLogger
@@ -348,15 +348,24 @@ def train(cfg: RunConfig):
     jitted_step = jax.jit(partial(train_step, net), donate_argnums=(0,))
     jitted_val = jax.jit(partial(validation_step, net)) if cfg.agent == "mdtv" else None
 
-    data_iter = iter(loader) if loader is not None else None
+    # 3-stage pipeline: loader threads decode ahead, the prefetcher thread
+    # shards+preprocesses on device ahead, the main thread only steps —
+    # host decode and H2D DMA overlap the chip's compute
+    import itertools
+    if loader is not None:
+        # the init batch was already consumed from the loader; train on it too
+        raw_iter = itertools.chain([raw_batch], iter(loader))
+    else:
+        raw_iter = itertools.repeat(raw_batch)
+    rng, k_prefetch = jax.random.split(rng)
+    prefetcher = DevicePrefetcher(raw_iter, device_batch, k_prefetch, depth=2)
+
     total_steps = cfg.trainer.max_epochs * cfg.trainer.steps_per_epoch
     t_last = time.perf_counter()
     while int(state.step) < total_steps:
         step = int(state.step)
-        if data_iter is not None:
-            raw_batch = next(data_iter)
-        rng, k_pp, k_step = jax.random.split(rng, 3)
-        batch = device_batch(k_pp, raw_batch)
+        batch = next(prefetcher)
+        rng, k_step = jax.random.split(rng)
         state, metrics = jitted_step(state, batch, k_step)
 
         if (step + 1) % cfg.trainer.log_every == 0:
@@ -401,6 +410,7 @@ def train(cfg: RunConfig):
                 logger.info("epoch %d checkpointed at step %d",
                             (step + 1) // cfg.trainer.steps_per_epoch, step + 1)
 
+    prefetcher.close()
     if loader is not None:
         loader.close()
     mlog.finish()

@@ -201,6 +201,37 @@ class TestEpochSemantics:
         assert sorted(epoch2.tolist()) == list(range(10))
         assert epoch1.tolist() != epoch2.tolist()
 
+    def test_device_prefetcher_order_keys_and_errors(self):
+        import jax
+        from mdt_policy_tpu.data.loader import DevicePrefetcher
+
+        key = jax.random.PRNGKey(0)
+        seen_keys = []
+
+        def device_fn(k, raw):
+            seen_keys.append(np.asarray(jax.random.key_data(k)).tolist())
+            return {"v": raw["v"] + 1}
+
+        raws = [{"v": np.asarray(i)} for i in range(5)]
+        pf = DevicePrefetcher(iter(raws), device_fn, key, depth=2)
+        out = [next(pf)["v"] for _ in range(5)]
+        pf.close()
+        # order preserved, fn applied
+        assert [int(v) for v in out] == [1, 2, 3, 4, 5]
+        # per-batch keys are distinct fold_ins of the base key
+        expect = [np.asarray(jax.random.key_data(jax.random.fold_in(key, i))).tolist()
+                  for i in range(5)]
+        assert seen_keys == expect
+
+        # an exception in the pipeline propagates to the consumer
+        def boom(k, raw):
+            raise RuntimeError("decode failed")
+
+        pf = DevicePrefetcher(iter(raws), boom, key)
+        with pytest.raises(RuntimeError, match="decode failed"):
+            next(pf)
+        pf.close()
+
     def test_sharded_loaders_are_disjoint_and_complete(self):
         a = BatchLoader(_IdxDataset(), 5, seed=0, shard_index=0, num_shards=2,
                         prefetch=1)
