@@ -64,11 +64,13 @@ class BatchLoader:
     def __init__(self, dataset, batch_size: int, *, seed: int = 0,
                  prefetch: int = 2, num_workers: Optional[int] = None,
                  tokenizer=None, context_length: int = 77,
-                 shard_index: int = 0, num_shards: int = 1):
+                 shard_index: int = 0, num_shards: int = 1,
+                 start_batch: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.seed = seed
         self.prefetch = prefetch
+        self.start_batch = start_batch
         self.num_workers = (num_workers if num_workers is not None
                             else min(8, os.cpu_count() or 1))
         self.tokenizer = tokenizer
@@ -81,13 +83,28 @@ class BatchLoader:
         self.epoch = 0
 
     def _index_batches(self) -> Iterator[np.ndarray]:
-        """Infinite stream of index batches over per-epoch permutations."""
+        """Infinite stream of index batches over per-epoch permutations.
+
+        `start_batch` fast-forwards the stream by whole batches (index math
+        only, nothing decoded) so a preempted run resumes with exactly the
+        batch it would have seen next — deterministic preemption recovery,
+        which the reference's Lightning auto-resume does not have (its
+        dataloaders restart from a fresh epoch on every resume)."""
         n = len(self.dataset)
+        skip = self.start_batch
         while True:
             perm = np.random.default_rng(self.seed + self.epoch).permutation(n)
             shard = perm[self.shard_index::self.num_shards]
-            for i in range(0, len(shard) - self.batch_size + 1, self.batch_size):
+            starts = range(0, len(shard) - self.batch_size + 1, self.batch_size)
+            if skip >= len(starts):
+                skip -= len(starts)
+                self.epoch += 1
+                continue
+            for j, i in enumerate(starts):
+                if j < skip:
+                    continue
                 yield shard[i:i + self.batch_size]
+            skip = 0
             self.epoch += 1
 
     def _make_batch(self, idxs: np.ndarray) -> Dict[str, np.ndarray]:
@@ -193,10 +210,12 @@ class DevicePrefetcher:
     regardless of pipeline depth.
     """
 
-    def __init__(self, raw_iter, device_fn, key, *, depth: int = 2):
+    def __init__(self, raw_iter, device_fn, key, *, depth: int = 2,
+                 start_index: int = 0):
         self._iter = raw_iter
         self._fn = device_fn
         self._key = key
+        self._start = start_index
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True,
@@ -205,7 +224,7 @@ class DevicePrefetcher:
 
     def _worker(self):
         try:
-            i = 0
+            i = self._start
             for raw in self._iter:
                 if self._stop.is_set():
                     return

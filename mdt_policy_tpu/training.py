@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import logging
+import threading
 import time
 from functools import partial
 from pathlib import Path
@@ -62,6 +63,9 @@ class TrainerConfig:
     # (with a warning when some are dropped); set explicitly for strictness —
     # a batch/device mismatch then errors instead of silently shrinking
     devices: Optional[int] = None
+    # "START:STOP" step range traced with jax.profiler into
+    # <run_dir>/profile (view in TensorBoard/Perfetto); None disables
+    profile_steps: Optional[str] = None
 
 
 @dataclasses.dataclass
@@ -115,7 +119,12 @@ def load_config(path: Optional[str], overrides) -> RunConfig:
         parts = key.split(".")
         for p in parts[:-1]:
             node = node.setdefault(p, {})
-        node[parts[-1]] = yaml.safe_load(val)
+        parsed = yaml.safe_load(val)
+        if isinstance(parsed, int) and ":" in val:
+            # YAML 1.1 reads "1:2" as sexagesimal 62 — keep range strings
+            # (e.g. trainer.profile_steps=50:60) verbatim
+            parsed = val
+        node[parts[-1]] = parsed
 
     cfg = RunConfig()
     for section, cls in (("data", DataConfig), ("trainer", TrainerConfig),
@@ -157,7 +166,7 @@ def _synthetic_batch(rng: np.random.Generator, B: int, data_cfg: DataConfig,
 
 
 def _real_loaders(cfg: RunConfig, split: str = "training", context_length: int = 77,
-                  vocab_size: Optional[int] = None):
+                  vocab_size: Optional[int] = None, start_batch: int = 0):
     from mdt_policy_tpu.data import BatchLoader, CalvinDataset, DualStreamLoader
     from mdt_policy_tpu.utils.clip_tokenizer import tokenize as _tokenize
 
@@ -189,7 +198,7 @@ def _real_loaders(cfg: RunConfig, split: str = "training", context_length: int =
     tok = lambda texts, n: tokenize(texts, n)
     # per-host sharding: each host decodes only its slice of the global batch
     shard = dict(shard_index=jax.process_index(), num_shards=jax.process_count(),
-                 num_workers=cfg.data.num_workers)
+                 num_workers=cfg.data.num_workers, start_batch=start_batch)
     vis = BatchLoader(CalvinDataset(root, key="vis", **kw), cfg.trainer.batch_size,
                       seed=cfg.trainer.seed, **shard)
     lang = BatchLoader(CalvinDataset(root, key="lang", **kw), cfg.trainer.batch_size,
@@ -231,6 +240,26 @@ def _init_distributed(cfg: DistributedConfig):
 
 
 def train(cfg: RunConfig):
+    # graceful preemption: install handlers FIRST — a SIGTERM landing during
+    # backend init or the minutes-long compile window must not kill the
+    # process; the first signal finishes the in-flight step (if any),
+    # checkpoints, and exits cleanly (SLURM/TPU-pod preemption contract); a
+    # second signal falls through to the previous handler
+    import signal
+    stop_requested = threading.Event()
+    prev_handlers = {}
+
+    def _on_signal(signum, frame):
+        logger.warning("signal %d: checkpointing after the current step", signum)
+        stop_requested.set()
+        signal.signal(signum, prev_handlers.get(signum, signal.SIG_DFL))
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            prev_handlers[sig] = signal.signal(sig, _on_signal)
+        except ValueError:  # not the main thread (in-process tests)
+            break
+
     if cfg.distributed.enabled:
         _init_distributed(cfg.distributed)
     import jax
@@ -262,7 +291,21 @@ def train(cfg: RunConfig):
     # per-host data rng (each host feeds its own slice of the global batch);
     # the MODEL rng stays host-independent so init is identical everywhere
     np_rng = np.random.default_rng(cfg.trainer.seed + jax.process_index())
-    rng = jax.random.PRNGKey(cfg.trainer.seed)
+    # All per-step keys are fold_in(base, step) — never a running split — so
+    # a resumed run draws bit-identical noise/augmentation streams from any
+    # checkpoint (deterministic preemption recovery; the reference's
+    # Lightning auto-resume replays neither data order nor rng).
+    k_init, k_prefetch, k_step_base, k_val_base = jax.random.split(
+        jax.random.PRNGKey(cfg.trainer.seed), 4)
+
+    # resume point must be known BEFORE the loaders exist: the data stream
+    # fast-forwards to exactly the batch the preempted run would see next
+    checkpointing = cfg.trainer.keep_checkpoints > 0
+    resume_step = 0
+    if checkpointing:
+        last = latest_checkpoint(run_dir / "checkpoints")
+        if last is not None:
+            resume_step = int(last.name)
 
     synthetic = cfg.data.root_data_dir is None
     val_iter = None
@@ -273,7 +316,7 @@ def train(cfg: RunConfig):
                                      agent_cfg)
     else:
         loader = _real_loaders(cfg, "training", agent_cfg.clip_context_length,
-                               agent_cfg.clip_vocab_size)
+                               agent_cfg.clip_vocab_size, start_batch=resume_step)
         raw_batch = next(iter(loader))
         val_root = Path(cfg.data.root_data_dir) / "validation"
         if val_root.exists():
@@ -326,8 +369,7 @@ def train(cfg: RunConfig):
             out[scope] = pp.train_batch(jax.random.fold_in(key, i), sharded)
         return out
 
-    rng, k_pp, k_init = jax.random.split(rng, 3)
-    batch = device_batch(k_pp, raw_batch)
+    batch = device_batch(jax.random.fold_in(k_prefetch, resume_step), raw_batch)
 
     init = init_mdtv if cfg.agent == "mdtv" else init_mdt
     net, state = init(agent_cfg, k_init, batch["lang"])
@@ -338,10 +380,9 @@ def train(cfg: RunConfig):
 
     # keep_checkpoints=0 disables checkpointing (e.g. throwaway multi-host
     # smoke runs); orbax otherwise coordinates multi-process saves itself
-    checkpointing = cfg.trainer.keep_checkpoints > 0
     ckpt = Checkpointer(run_dir / "checkpoints",
                         keep=cfg.trainer.keep_checkpoints) if checkpointing else None
-    if checkpointing and latest_checkpoint(run_dir / "checkpoints") is not None:
+    if resume_step > 0:
         state = ckpt.restore(state)
         logger.info("auto-resumed from step %d", int(state.step))
 
@@ -357,16 +398,39 @@ def train(cfg: RunConfig):
         raw_iter = itertools.chain([raw_batch], iter(loader))
     else:
         raw_iter = itertools.repeat(raw_batch)
-    rng, k_prefetch = jax.random.split(rng)
-    prefetcher = DevicePrefetcher(raw_iter, device_batch, k_prefetch, depth=2)
+    prefetcher = DevicePrefetcher(raw_iter, device_batch, k_prefetch, depth=2,
+                                  start_index=resume_step)
+
+    profile_range = None
+    profiling_active = False
+    if cfg.trainer.profile_steps:
+        lo, _, hi = str(cfg.trainer.profile_steps).partition(":")
+        if not hi:
+            raise ValueError(f"trainer.profile_steps={cfg.trainer.profile_steps!r}"
+                             " must be 'START:STOP' (quote it in YAML)")
+        profile_range = (int(lo), int(hi))
+        if profile_range[1] <= profile_range[0]:
+            raise ValueError(f"trainer.profile_steps={cfg.trainer.profile_steps!r}"
+                             " must be START:STOP with STOP > START")
 
     total_steps = cfg.trainer.max_epochs * cfg.trainer.steps_per_epoch
     t_last = time.perf_counter()
     while int(state.step) < total_steps:
         step = int(state.step)
+        if profile_range is not None and step == profile_range[0]:
+            import jax.profiler
+            (run_dir / "profile").mkdir(parents=True, exist_ok=True)
+            jax.profiler.start_trace(str(run_dir / "profile"))
+            profiling_active = True
         batch = next(prefetcher)
-        rng, k_step = jax.random.split(rng)
+        k_step = jax.random.fold_in(k_step_base, step)
         state, metrics = jitted_step(state, batch, k_step)
+        if profiling_active and step + 1 >= profile_range[1]:
+            jax.block_until_ready(state.params)
+            import jax.profiler
+            jax.profiler.stop_trace()
+            profile_range, profiling_active = None, False
+            logger.info("profiler trace written to %s", run_dir / "profile")
 
         if (step + 1) % cfg.trainer.log_every == 0:
             dt = (time.perf_counter() - t_last) / cfg.trainer.log_every
@@ -394,7 +458,9 @@ def train(cfg: RunConfig):
                 # mode reuses the current train batch as a smoke check
                 val_metrics: Dict[str, float] = {}
                 for vb in range(cfg.trainer.limit_val_batches):
-                    rng, k_v, k_vp = jax.random.split(rng, 3)
+                    k_v, k_vp = jax.random.split(
+                        jax.random.fold_in(k_val_base,
+                                           step * cfg.trainer.limit_val_batches + vb))
                     if val_iter is not None:
                         vbatch = device_batch(k_vp, next(val_iter))
                     else:
@@ -410,6 +476,22 @@ def train(cfg: RunConfig):
                 logger.info("epoch %d checkpointed at step %d",
                             (step + 1) // cfg.trainer.steps_per_epoch, step + 1)
 
+        if stop_requested.is_set():
+            if checkpointing:
+                ckpt.save(state)
+                logger.warning("preemption checkpoint saved at step %d; "
+                               "resume by rerunning with the same run_name",
+                               int(state.step))
+            break
+
+    if profiling_active:  # preempted inside the traced range
+        import jax.profiler
+        jax.profiler.stop_trace()
+    for sig, h in prev_handlers.items():
+        try:
+            signal.signal(sig, h)
+        except ValueError:
+            break
     prefetcher.close()
     if loader is not None:
         loader.close()

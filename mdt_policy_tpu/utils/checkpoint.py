@@ -96,8 +96,12 @@ class Checkpointer:
             raise FileNotFoundError(f"no checkpoints under {self.ckpt_dir}")
         restored = self._ckpt.restore(Path(path).resolve(),
                                       self._tree(state_template))
+        # step as a HOST scalar: orbax restores it committed to one device,
+        # which conflicts with mesh-sharded params inside the next jitted
+        # step ("incompatible devices"); an uncommitted scalar lets jit
+        # place it with the rest of the state
         return state_template.replace(
-            step=restored["step"], params=restored["params"],
+            step=int(restored["step"]), params=restored["params"],
             ema_params=restored["ema_params"], opt_state=restored["opt_state"])
 
     def best_step(self) -> Optional[int]:

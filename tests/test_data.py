@@ -201,6 +201,21 @@ class TestEpochSemantics:
         assert sorted(epoch2.tolist()) == list(range(10))
         assert epoch1.tolist() != epoch2.tolist()
 
+    def test_start_batch_fast_forwards_the_stream(self):
+        # the resumed stream must equal the tail of the uninterrupted one,
+        # including across an epoch boundary (2 batches/epoch here)
+        full = BatchLoader(_IdxDataset(), 5, seed=3, prefetch=1)
+        it = iter(full)
+        reference = [next(it)["idx"].tolist() for _ in range(6)]
+        full.close()
+        for start in (1, 3, 4):  # mid-epoch, epoch-skip, mid-later-epoch
+            resumed = BatchLoader(_IdxDataset(), 5, seed=3, prefetch=1,
+                                  start_batch=start)
+            got = [next(iter(resumed))["idx"].tolist()
+                   for _ in range(6 - start)]
+            resumed.close()
+            assert got == reference[start:], f"start_batch={start}"
+
     def test_device_prefetcher_order_keys_and_errors(self):
         import jax
         from mdt_policy_tpu.data.loader import DevicePrefetcher

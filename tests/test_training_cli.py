@@ -31,13 +31,15 @@ def test_synthetic_train_run(tmp_path):
                         synthetic_gripper_hw=32),
         trainer=TrainerConfig(batch_size=2, max_epochs=2, steps_per_epoch=2,
                               limit_val_batches=1, seed=0, log_every=2,
-                              keep_checkpoints=2),
+                              keep_checkpoints=2, profile_steps="1:2"),
         agent_overrides=TINY_OVERRIDES,
     )
     state = train(cfg)
     assert int(state.step) == 4
     run_dir = tmp_path / "smoke"
     assert (run_dir / "metrics.csv").exists()
+    # trainer.profile_steps traced step 1 into run_dir/profile
+    assert any((run_dir / "profile").rglob("*"))
     ckpts = sorted((run_dir / "checkpoints").iterdir())
     assert any(p.name == "4" for p in ckpts)
 
@@ -46,11 +48,83 @@ def test_synthetic_train_run(tmp_path):
     assert int(state2.step) == 4
 
 
+def _tiny_cfg(tmp_path, run_name, max_epochs, keep_checkpoints=1):
+    return RunConfig(
+        agent="mdtv",
+        log_dir=str(tmp_path),
+        run_name=run_name,
+        data=DataConfig(root_data_dir=None, synthetic_static_hw=32,
+                        synthetic_gripper_hw=32),
+        trainer=TrainerConfig(batch_size=2, max_epochs=max_epochs,
+                              steps_per_epoch=2, limit_val_batches=1, seed=0,
+                              log_every=100, keep_checkpoints=keep_checkpoints),
+        agent_overrides=TINY_OVERRIDES,
+    )
+
+
+def test_preemption_resume_is_bit_deterministic(tmp_path):
+    """4 straight steps == 2 steps + preempt + resume 2 steps, bit-exact.
+
+    Step/augmentation keys are fold_in(step) and the data stream
+    fast-forwards on resume, so a preempted-and-resumed run must produce
+    exactly the params of an uninterrupted one."""
+    import jax
+
+    straight = train(_tiny_cfg(tmp_path, "straight", max_epochs=2))
+    part1 = train(_tiny_cfg(tmp_path, "resumed", max_epochs=1))
+    assert int(part1.step) == 2
+    resumed = train(_tiny_cfg(tmp_path, "resumed", max_epochs=2))
+    assert int(resumed.step) == 4
+
+    flat_a = jax.tree_util.tree_leaves(straight.params)
+    flat_b = jax.tree_util.tree_leaves(resumed.params)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(straight.ema_params),
+                    jax.tree_util.tree_leaves(resumed.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sigterm_checkpoints_and_exits(tmp_path):
+    """Graceful preemption: SIGTERM mid-run finishes the in-flight step,
+    writes a checkpoint at a non-epoch step, and returns cleanly."""
+    import os
+    import signal
+    import threading
+
+    cfg = _tiny_cfg(tmp_path, "preempt", max_epochs=50)
+
+    # deliver SIGTERM once train() has armed its handler (installed at entry,
+    # before backend init) — racing a fixed delay against compile time is
+    # flaky on a loaded host
+    import time
+
+    default_handler = signal.getsignal(signal.SIGTERM)
+
+    def _kill_when_armed():
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            if signal.getsignal(signal.SIGTERM) is not default_handler:
+                break
+            time.sleep(0.05)
+        os.kill(os.getpid(), signal.SIGTERM)
+
+    killer = threading.Thread(target=_kill_when_armed, daemon=True)
+    killer.start()
+    state = train(cfg)
+    step = int(state.step)
+    assert 0 < step < 100  # stopped long before max_epochs*steps_per_epoch
+    assert (tmp_path / "preempt" / "checkpoints" / str(step)).exists()
+
+
 def test_load_config_overrides(tmp_path):
     p = tmp_path / "c.yaml"
     p.write_text("agent: mdt\ntrainer:\n  batch_size: 7\n")
-    cfg = load_config(str(p), ["trainer.max_epochs=3", "data.min_window_size=22"])
+    cfg = load_config(str(p), ["trainer.max_epochs=3", "data.min_window_size=22",
+                               "trainer.profile_steps=50:60"])
     assert cfg.agent == "mdt"
     assert cfg.trainer.batch_size == 7
     assert cfg.trainer.max_epochs == 3
     assert cfg.data.min_window_size == 22
+    # YAML 1.1 sexagesimal footgun: "50:60" must stay a range string, not 3060
+    assert cfg.trainer.profile_steps == "50:60"
