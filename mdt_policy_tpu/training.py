@@ -478,7 +478,7 @@ def train(cfg: RunConfig):
 
         if stop_requested.is_set():
             if checkpointing:
-                ckpt.save(state)
+                ckpt.save(state, wait=True)  # must be durable before exit
                 logger.warning("preemption checkpoint saved at step %d; "
                                "resume by rerunning with the same run_name",
                                int(state.step))
@@ -487,6 +487,8 @@ def train(cfg: RunConfig):
     if profiling_active:  # preempted inside the traced range
         import jax.profiler
         jax.profiler.stop_trace()
+    if checkpointing:
+        ckpt.wait()  # settle any in-flight async save before returning
     for sig, h in prev_handlers.items():
         try:
             signal.signal(sig, h)

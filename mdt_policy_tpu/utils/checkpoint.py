@@ -55,15 +55,27 @@ class Checkpointer:
         }
 
     def save(self, state, *, metric: Optional[float] = None,
-             metric_name: str = "eval_lh/avg_seq_len") -> Path:
+             metric_name: str = "eval_lh/avg_seq_len", wait: bool = False) -> Path:
+        """Asynchronous by default: orbax copies the state to host memory
+        synchronously (so the caller may immediately donate/overwrite the
+        device buffers) and serializes in a background thread — the train
+        loop does not stall on disk. `wait=True` blocks until the files are
+        durable (preemption saves, end of training)."""
         step = int(state.step)
         path = self.ckpt_dir / str(step)
-        self._ckpt.save(path.resolve(), self._tree(state), force=True)
+        # only one async save may be in flight; settle the previous one
         self._ckpt.wait_until_finished()
+        self._ckpt.save(path.resolve(), self._tree(state), force=True)
+        if wait:
+            self._ckpt.wait_until_finished()
         if metric is not None:
             self._update_best(step, metric, metric_name)
-        self._gc()
+        self._gc()  # never touches the newest (in-flight) step dir
         return path
+
+    def wait(self):
+        """Block until any in-flight async save is durable on disk."""
+        self._ckpt.wait_until_finished()
 
     def _update_best(self, step: int, metric: float, metric_name: str):
         """save_top_k=1 on a max-metric (ref conf/callbacks/checkpoint/lh_sr.yaml)."""
@@ -90,6 +102,7 @@ class Checkpointer:
 
     def restore(self, state_template, step: Optional[int] = None):
         """Restore into the template's structure; returns a new TrainState."""
+        self._ckpt.wait_until_finished()  # settle any in-flight async save
         path = (self.ckpt_dir / str(step)) if step is not None \
             else latest_checkpoint(self.ckpt_dir)
         if path is None:

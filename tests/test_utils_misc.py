@@ -110,6 +110,7 @@ class TestCheckpointer:
                                params={"w": jnp.full((4,), 9.0)})
         ck.save(state2, metric=0.5)
 
+        ck.wait()  # saves are async: settle before inspecting the directory
         assert latest_checkpoint(tmp_path / "ckpts").name == "7"
         assert ck.best_step() == 3  # higher metric wins (max mode)
 
@@ -121,3 +122,27 @@ class TestCheckpointer:
         np.testing.assert_allclose(np.asarray(restored.params["w"]), 9.0)
         restored_best = ck.restore(template, step=ck.best_step())
         np.testing.assert_allclose(np.asarray(restored_best.ema_params["w"]), 2.0)
+
+    def test_async_save_restores_without_explicit_wait(self, tmp_path):
+        """restore() must settle an in-flight async save by itself."""
+        from mdt_policy_tpu.utils.checkpoint import Checkpointer
+        import flax.struct
+        import optax
+
+        class MiniState(flax.struct.PyTreeNode):
+            step: jax.Array
+            params: dict
+            opt_state: tuple
+            ema_params: dict
+            tx: object = flax.struct.field(pytree_node=False)
+
+        tx = optax.sgd(1e-3)
+        params = {"w": jnp.arange(6, dtype=jnp.float32)}
+        state = MiniState(step=jnp.asarray(11), params=params,
+                          opt_state=tx.init(params), ema_params=params, tx=tx)
+        ck = Checkpointer(tmp_path / "ckpts", keep=1)
+        ck.save(state)  # async — no wait
+        restored = ck.restore(state.replace(params={"w": jnp.zeros(6)}))
+        assert int(restored.step) == 11
+        np.testing.assert_allclose(np.asarray(restored.params["w"]),
+                                   np.arange(6, dtype=np.float32))
