@@ -523,6 +523,8 @@ class MDTVPolicy:
         self._predict = jax.jit(partial(self._predict_impl, **sampler_overrides))
         self._predict_emb = jax.jit(partial(self._predict_emb_impl,
                                             **sampler_overrides))
+        self._predict_vis = jax.jit(partial(self._predict_vis_impl,
+                                            **sampler_overrides))
 
     def _predict_impl(self, params, rgb_static, rgb_gripper, lang_tokens, rng,
                       **overrides):
@@ -543,13 +545,26 @@ class MDTVPolicy:
         return denoise_actions(self.net, params, emb, lang_emb, rng,
                                modality="lang", **overrides)
 
+    def _predict_vis_impl(self, params, rgb_static, rgb_gripper, goal_image,
+                          rng, **overrides):
+        """Goal-image conditioning (the reference Rollout callback's 'vis'
+        modality, rollout.py:324-330: goal = the demo's last static frame,
+        embedded by the frozen CLIP image tower)."""
+        emb = self.net.apply({"params": params}, rgb_static, rgb_gripper,
+                             method="perceive")
+        latent_goal = self.net.apply({"params": params}, goal_image,
+                                     method="encode_visual_goal")
+        return denoise_actions(self.net, params, emb, latent_goal, rng,
+                               modality="vis", **overrides)
+
     def reset(self):
         self.rollout_step_counter = 0
         self.pred_action_seq = None
 
     def step(self, obs: Dict[str, jax.Array], goal: Dict[str, jax.Array]):
         """obs: {'rgb_static': (B,T,H,W,3), 'rgb_gripper': ...};
-        goal: {'lang_tokens': (B,77)} or {'lang': (B,512) precomputed emb}.
+        goal: {'lang_tokens': (B,77)}, {'lang': (B,512) precomputed emb} or
+        {'rgb_static_goal': (B,H,W,3) preprocessed goal image}.
         Returns the current 7-DoF action."""
         if self.rollout_step_counter % self.cfg.multistep == 0:
             self.rng, k = jax.random.split(self.rng)
@@ -557,6 +572,10 @@ class MDTVPolicy:
                 self.pred_action_seq = self._predict(
                     self.params, obs["rgb_static"], obs["rgb_gripper"],
                     goal["lang_tokens"], k)
+            elif "rgb_static_goal" in goal:
+                self.pred_action_seq = self._predict_vis(
+                    self.params, obs["rgb_static"], obs["rgb_gripper"],
+                    jnp.asarray(goal["rgb_static_goal"]), k)
             else:
                 lang = jnp.atleast_2d(jnp.asarray(goal["lang"]))
                 self.pred_action_seq = self._predict_emb(

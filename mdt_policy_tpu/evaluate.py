@@ -109,6 +109,11 @@ def build_policy(train_folder: str, *, sampler_type=None, num_sampling_steps=Non
                 "rgb_static": obs["rgb_obs"]["rgb_static"],
                 "rgb_gripper": obs["rgb_obs"]["rgb_gripper"],
             })
+            if "rgb_static_goal" in goal:
+                # raw uint8 goal frame -> same camera pipeline as the obs
+                g = pp.eval_batch({
+                    "rgb_static": np.asarray(goal["rgb_static_goal"])})
+                goal = {**goal, "rgb_static_goal": g["rgb_static"][:, -1]}
             return np.asarray(policy.step(
                 {"rgb_static": batch["rgb_static"],
                  "rgb_gripper": batch["rgb_gripper"]},

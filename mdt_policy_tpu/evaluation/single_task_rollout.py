@@ -108,7 +108,8 @@ class SingleTaskRollout:
     def __init__(self, env, task_oracle, goal_fn: Callable[[str], Dict], *,
                  ep_len: int = 240, rollouts_per_task: int = 10,
                  id_selection_strategy: str = "select_first",
-                 min_window_size: int = 21, max_window_size: int = 50):
+                 min_window_size: int = 21, max_window_size: int = 50,
+                 modalities: Sequence[str] = ("lang",)):
         self.env = env
         self.task_oracle = task_oracle
         self.goal_fn = goal_fn
@@ -117,11 +118,32 @@ class SingleTaskRollout:
         self.select = SELECTORS[id_selection_strategy]
         self.min_window_size = min_window_size
         self.max_window_size = max_window_size
+        for m in modalities:
+            if m not in ("lang", "vis"):
+                raise ValueError(f"unknown rollout modality {m!r}")
+        self.modalities = tuple(modalities)
 
-    def __call__(self, policy, task_to_states: Dict[str, List[Dict]]
+    def _goal_for(self, mod: str, task: str, state) -> Dict:
+        """'lang': the task's validation sentence through goal_fn; 'vis':
+        the demo's end state rendered as a goal image (the reference uses the
+        batch's last frame, rollout.py:324-330 — resetting the env to the end
+        state renders the same accomplished scene)."""
+        if mod == "lang":
+            return self.goal_fn(task)
+        if not (isinstance(state, (tuple, list)) and len(state) == 2):
+            raise ValueError(
+                "vis-modality rollouts need (start_state, end_state) pairs "
+                "in task_to_states (see state_pairs_from_batch)")
+        obs_goal = self.env.reset(robot_obs=state[1]["robot_obs"],
+                                  scene_obs=state[1]["scene_obs"])
+        return {"rgb_static_goal": obs_goal["rgb_obs"]["rgb_static"]}
+
+    def __call__(self, policy, task_to_states: Dict[str, List]
                  ) -> Dict[str, float]:
-        """task_to_states: {task: [reset states]} (from discover_tasks or a
-        precomputed dictionary — the reference persists these in the ckpt)."""
+        """task_to_states: {task: [reset states]} or {task: [(start, end)
+        state pairs]} (required for the 'vis' modality). From discover_tasks
+        or a precomputed dictionary — the reference persists these in the
+        ckpt."""
         from .rollout import rollout
 
         counts = Counter()
@@ -129,18 +151,31 @@ class SingleTaskRollout:
         for task, states in task_to_states.items():
             ids = self.select(list(range(len(states))), self.rollouts_per_task,
                               self.min_window_size, self.max_window_size)
-            for i in ids:
-                st = states[i]
-                self.env.reset(robot_obs=st["robot_obs"], scene_obs=st["scene_obs"])
-                goal = self.goal_fn(task)
-                ok = rollout(self.env, policy, self.task_oracle, task,
-                             goal.get("lang_text", task), goal, self.ep_len)
-                counts[task] += 1
-                successes[task] += int(ok)
-        metrics = {f"tasks/{t}_sr": successes[t] / counts[t] for t in counts}
+            for mod in self.modalities:
+                for i in ids:
+                    st = states[i]
+                    goal = self._goal_for(mod, task, st)
+                    start = st[0] if isinstance(st, (tuple, list)) else st
+                    self.env.reset(robot_obs=start["robot_obs"],
+                                   scene_obs=start["scene_obs"])
+                    ok = rollout(self.env, policy, self.task_oracle, task,
+                                 goal.get("lang_text", task), goal, self.ep_len)
+                    counts[(task, mod)] += 1
+                    successes[(task, mod)] += int(ok)
+        single = len(self.modalities) == 1
+        metrics = {
+            (f"tasks/{t}_sr" if single else f"tasks/{t}_{m}_sr"):
+                successes[(t, m)] / counts[(t, m)]
+            for (t, m) in counts
+        }
         if counts:
             metrics["tasks/average_sr"] = (
                 sum(successes.values()) / sum(counts.values()))
+            if not single:
+                for mod in self.modalities:
+                    c = sum(v for (t, m), v in counts.items() if m == mod)
+                    s = sum(v for (t, m), v in successes.items() if m == mod)
+                    metrics[f"tasks/average_{mod}_sr"] = s / c if c else 0.0
         for k, v in sorted(metrics.items()):
             logger.info("%s: %.2f", k, v)
         return metrics

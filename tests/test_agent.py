@@ -129,6 +129,14 @@ def test_policy_protocol_and_sampling(world):
     # chunk of 10 replayed, step 10 re-plans; counter wraps at multistep
     assert policy.rollout_step_counter == 2
 
+    # goal-image conditioning (the Rollout callback's 'vis' modality):
+    # same protocol, goal = preprocessed static frame
+    policy.reset()
+    vis_goal = {"rgb_static_goal": b["rgb_static"][:, -1]}
+    a_vis = np.asarray(policy.step(obs, vis_goal))
+    assert a_vis.shape == (B, 7)
+    assert np.all(np.isfinite(a_vis))
+
 
 def test_fused_camera_batch_matches_separate(world):
     """fuse_camera_batch runs both cameras through ONE ViT call; the same

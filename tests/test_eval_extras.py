@@ -76,3 +76,52 @@ def test_env_adapter_action_convention():
     env.step(np.array([0.1, 0, 0, 0, 0, 0, -0.2]))
     assert stub.last_action["action"][-1] == -1.0
     assert stub.last_action["type"] == "cartesian_rel"
+
+
+def test_single_task_rollout_dual_modalities():
+    """The reference Rollout callback evaluates each task under BOTH goal
+    modalities (rollout.py:302-330): lang = annotation sentence, vis = the
+    demo's end state as a goal image. The policy double records which goal
+    kind it was driven with; the scripted oracle solves one task."""
+    from mdt_policy_tpu.evaluation.fake_env import FakeEnv, ScriptedOracle
+    from mdt_policy_tpu.evaluation.single_task_rollout import SingleTaskRollout
+
+    class RecordingPolicy:
+        def __init__(self):
+            self.goal_kinds = []
+
+        def reset(self):
+            pass
+
+        def step(self, obs, goal):
+            if "rgb_static_goal" in goal:
+                self.goal_kinds.append("vis")
+                assert np.asarray(goal["rgb_static_goal"]).dtype == np.uint8
+            else:
+                self.goal_kinds.append("lang")
+                assert "lang_text" in goal
+            return np.zeros(7)
+
+    env = FakeEnv(img_hw=16)
+    oracle = ScriptedOracle(solve_at={"open_drawer": 2, "close_drawer": 10**9})
+    policy = RecordingPolicy()
+    cb = SingleTaskRollout(
+        env, oracle, goal_fn=lambda t: {"lang_text": f"do {t}"},
+        ep_len=4, rollouts_per_task=2, modalities=("lang", "vis"))
+    pairs = [({"robot_obs": np.zeros(15), "scene_obs": np.zeros(24)},
+              {"robot_obs": np.ones(15), "scene_obs": np.ones(24)})] * 3
+    metrics = cb(policy, {"open_drawer": pairs, "close_drawer": pairs})
+
+    assert set(policy.goal_kinds) == {"lang", "vis"}
+    assert metrics["tasks/open_drawer_lang_sr"] == 1.0
+    assert metrics["tasks/open_drawer_vis_sr"] == 1.0
+    assert metrics["tasks/close_drawer_lang_sr"] == 0.0
+    assert metrics["tasks/average_lang_sr"] == 0.5
+    assert metrics["tasks/average_vis_sr"] == 0.5
+    assert metrics["tasks/average_sr"] == 0.5
+
+    # single-modality keeps the historical metric names
+    cb1 = SingleTaskRollout(env, oracle, goal_fn=lambda t: {"lang_text": t},
+                            ep_len=4, rollouts_per_task=1)
+    m1 = cb1(policy, {"open_drawer": pairs})
+    assert "tasks/open_drawer_sr" in m1
