@@ -66,6 +66,12 @@ class TrainerConfig:
     # "START:STOP" step range traced with jax.profiler into
     # <run_dir>/profile (view in TensorBoard/Perfetto); None disables
     profile_steps: Optional[str] = None
+    # warm-start: orbax checkpoint dir (a step dir or a run's checkpoints/
+    # dir) whose params partially initialize a FRESH run — every leaf with a
+    # matching path+shape is copied, the rest keep their random init (the
+    # reference's pretrain_chk + load_state_dict(strict=False),
+    # mdt/training.py:53-54, utils.py:32-42). Ignored when auto-resuming.
+    pretrain_checkpoint: Optional[str] = None
 
 
 @dataclasses.dataclass
@@ -205,6 +211,27 @@ def _real_loaders(cfg: RunConfig, split: str = "training", context_length: int =
                        seed=cfg.trainer.seed + 1, tokenizer=tok,
                        context_length=context_length, **shard)
     return DualStreamLoader(vis, lang)
+
+
+def _load_pretrain_params(path: str) -> Dict[str, Any]:
+    """Params tree from an orbax checkpoint: `path` is a step dir or a run's
+    checkpoints/ dir (newest step used). Returned as raw host arrays for
+    partial merging into a fresh init."""
+    import orbax.checkpoint as ocp
+
+    from mdt_policy_tpu.utils.checkpoint import latest_checkpoint
+
+    p = Path(path)
+    if not (p / "_CHECKPOINT_METADATA").exists():
+        newest = latest_checkpoint(p)
+        if newest is None:
+            raise FileNotFoundError(f"no checkpoint under {p}")
+        p = newest
+    with ocp.PyTreeCheckpointer() as ckptr:
+        tree = ckptr.restore(p.resolve())
+    if "params" not in tree:
+        raise ValueError(f"checkpoint {p} has no 'params' tree")
+    return tree["params"]
 
 
 class _NullLogger:
@@ -373,6 +400,17 @@ def train(cfg: RunConfig):
 
     init = init_mdtv if cfg.agent == "mdtv" else init_mdt
     net, state = init(agent_cfg, k_init, batch["lang"])
+
+    if cfg.trainer.pretrain_checkpoint and resume_step == 0:
+        from mdt_policy_tpu.utils.misc import initialize_pretrained_weights
+        pre = _load_pretrain_params(cfg.trainer.pretrain_checkpoint)
+        # ema gets independent copies: shared leaves between params and
+        # ema_params would be the SAME buffer donated twice in the train step
+        pre_ema = jax.tree_util.tree_map(np.array, pre)
+        state = state.replace(
+            params=initialize_pretrained_weights(state.params, pre),
+            ema_params=initialize_pretrained_weights(state.ema_params, pre_ema))
+        logger.info("warm-started from %s", cfg.trainer.pretrain_checkpoint)
 
     state = state.replace(params=replicate_tree(state.params, mesh),
                           ema_params=replicate_tree(state.ema_params, mesh),

@@ -123,6 +123,42 @@ class TestCheckpointer:
         restored_best = ck.restore(template, step=ck.best_step())
         np.testing.assert_allclose(np.asarray(restored_best.ema_params["w"]), 2.0)
 
+    def test_load_pretrain_params_partial_merge(self, tmp_path):
+        """Warm-start chain: orbax checkpoint dir -> params tree -> partial
+        merge (matching path+shape copied, the rest untouched)."""
+        from mdt_policy_tpu.training import _load_pretrain_params
+        from mdt_policy_tpu.utils.checkpoint import Checkpointer
+        from mdt_policy_tpu.utils.misc import initialize_pretrained_weights
+        import flax.struct
+        import optax
+
+        class MiniState(flax.struct.PyTreeNode):
+            step: jax.Array
+            params: dict
+            opt_state: tuple
+            ema_params: dict
+            tx: object = flax.struct.field(pytree_node=False)
+
+        tx = optax.sgd(1e-3)
+        params = {"enc": {"w": jnp.full((3,), 5.0)}, "head": {"w": jnp.ones((2, 2))}}
+        state = MiniState(step=jnp.asarray(2), params=params,
+                          opt_state=tx.init(params), ema_params=params, tx=tx)
+        ck = Checkpointer(tmp_path / "ckpts", keep=1)
+        ck.save(state, wait=True)
+
+        # both forms: the checkpoints/ dir (newest step) and the step dir
+        for src in (tmp_path / "ckpts", tmp_path / "ckpts" / "2"):
+            pre = _load_pretrain_params(str(src))
+            np.testing.assert_allclose(np.asarray(pre["enc"]["w"]), 5.0)
+
+        fresh = {"enc": {"w": jnp.zeros((3,))},          # matches -> copied
+                 "head": {"w": jnp.zeros((4, 4))},       # shape mismatch -> kept
+                 "extra": {"b": jnp.full((2,), 7.0)}}    # absent -> kept
+        merged = initialize_pretrained_weights(fresh, pre)
+        np.testing.assert_allclose(np.asarray(merged["enc"]["w"]), 5.0)
+        np.testing.assert_allclose(np.asarray(merged["head"]["w"]), 0.0)
+        np.testing.assert_allclose(np.asarray(merged["extra"]["b"]), 7.0)
+
     def test_async_save_restores_without_explicit_wait(self, tmp_path):
         """restore() must settle an in-flight async save by itself."""
         from mdt_policy_tpu.utils.checkpoint import Checkpointer
