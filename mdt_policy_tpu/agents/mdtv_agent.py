@@ -573,9 +573,11 @@ class MDTVPolicy:
                     self.params, obs["rgb_static"], obs["rgb_gripper"],
                     goal["lang_tokens"], k)
             elif "rgb_static_goal" in goal:
+                g = jnp.asarray(goal["rgb_static_goal"])
+                if g.ndim == 3:  # unbatched (H,W,3) goal frame
+                    g = g[None]
                 self.pred_action_seq = self._predict_vis(
-                    self.params, obs["rgb_static"], obs["rgb_gripper"],
-                    jnp.asarray(goal["rgb_static_goal"]), k)
+                    self.params, obs["rgb_static"], obs["rgb_gripper"], g, k)
             else:
                 lang = jnp.atleast_2d(jnp.asarray(goal["lang"]))
                 self.pred_action_seq = self._predict_emb(

@@ -153,7 +153,12 @@ class BatchLoader:
                     except queue.Full:
                         continue
         except BaseException as e:  # propagate to the consumer, don't hang it
-            self._q.put(e)
+            while not self._stop.is_set():  # bounded: close() releases us
+                try:
+                    self._q.put(e, timeout=1.0)
+                    break
+                except queue.Full:
+                    continue
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         if self._thread is None:
@@ -211,33 +216,43 @@ class DevicePrefetcher:
     """
 
     def __init__(self, raw_iter, device_fn, key, *, depth: int = 2,
-                 start_index: int = 0):
+                 start_index: int = 0, preloaded=()):
         self._iter = raw_iter
         self._fn = device_fn
         self._key = key
         self._start = start_index
-        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._preloaded = tuple(preloaded)  # already-on-device batches,
+        # yielded first (e.g. the init batch — no second H2D transfer)
+        self._q: queue.Queue = queue.Queue(maxsize=max(depth, len(preloaded)))
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True,
                                         name="mdt-device-prefetch")
         self._thread.start()
 
+    def _put(self, item) -> bool:
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=1.0)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _worker(self):
         try:
+            for pre in self._preloaded:
+                if not self._put(pre):
+                    return
             i = self._start
             for raw in self._iter:
                 if self._stop.is_set():
                     return
                 out = self._fn(jax.random.fold_in(self._key, i), raw)
                 i += 1
-                while not self._stop.is_set():
-                    try:
-                        self._q.put(out, timeout=1.0)
-                        break
-                    except queue.Full:
-                        continue
+                if not self._put(out):
+                    return
         except BaseException as e:  # propagate to the consumer, don't hang it
-            self._q.put(e)
+            self._put(e)  # bounded: gives up once close() is called
 
     def __iter__(self):
         return self

@@ -100,6 +100,8 @@ def build_policy(train_folder: str, *, sampler_type=None, num_sampling_steps=Non
     class PreprocessingPolicy:
         """Adapts raw env obs (uint8) to the jitted policy inputs."""
         inner = policy  # the MDTVPolicy (exposed for tooling, e.g. annotator)
+        _goal_cache = (None, None)  # (raw goal frame, processed) — holding
+        # the raw object pins it so identity can't be recycled by the GC
 
         def reset(self):
             policy.reset()
@@ -110,10 +112,14 @@ def build_policy(train_folder: str, *, sampler_type=None, num_sampling_steps=Non
                 "rgb_gripper": obs["rgb_obs"]["rgb_gripper"],
             })
             if "rgb_static_goal" in goal:
-                # raw uint8 goal frame -> same camera pipeline as the obs
-                g = pp.eval_batch({
-                    "rgb_static": np.asarray(goal["rgb_static_goal"])})
-                goal = {**goal, "rgb_static_goal": g["rgb_static"][:, -1]}
+                # raw uint8 goal frame -> same camera pipeline as the obs;
+                # the goal is constant for a whole rollout (a few hundred
+                # steps), so cache by frame identity
+                raw = goal["rgb_static_goal"]
+                if self._goal_cache[0] is not raw:
+                    g = pp.eval_batch({"rgb_static": np.asarray(raw)})
+                    self._goal_cache = (raw, g["rgb_static"][:, -1])
+                goal = {**goal, "rgb_static_goal": self._goal_cache[1]}
             return np.asarray(policy.step(
                 {"rgb_static": batch["rgb_static"],
                  "rgb_gripper": batch["rgb_gripper"]},

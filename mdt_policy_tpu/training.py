@@ -328,11 +328,11 @@ def train(cfg: RunConfig):
     # resume point must be known BEFORE the loaders exist: the data stream
     # fast-forwards to exactly the batch the preempted run would see next
     checkpointing = cfg.trainer.keep_checkpoints > 0
-    resume_step = 0
+    resume_step, resuming = 0, False
     if checkpointing:
         last = latest_checkpoint(run_dir / "checkpoints")
         if last is not None:
-            resume_step = int(last.name)
+            resume_step, resuming = int(last.name), True
 
     synthetic = cfg.data.root_data_dir is None
     val_iter = None
@@ -347,8 +347,13 @@ def train(cfg: RunConfig):
         raw_batch = next(iter(loader))
         val_root = Path(cfg.data.root_data_dir) / "validation"
         if val_root.exists():
+            # resume replays the validation stream too: by step s the run has
+            # consumed limit_val_batches per completed epoch
+            val_consumed = (resume_step // cfg.trainer.steps_per_epoch
+                            * cfg.trainer.limit_val_batches)
             val_loader = _real_loaders(cfg, "validation", agent_cfg.clip_context_length,
-                                       agent_cfg.clip_vocab_size)
+                                       agent_cfg.clip_vocab_size,
+                                       start_batch=val_consumed)
             val_iter = iter(val_loader)
 
     import math as _math
@@ -401,7 +406,7 @@ def train(cfg: RunConfig):
     init = init_mdtv if cfg.agent == "mdtv" else init_mdt
     net, state = init(agent_cfg, k_init, batch["lang"])
 
-    if cfg.trainer.pretrain_checkpoint and resume_step == 0:
+    if cfg.trainer.pretrain_checkpoint and not resuming:
         from mdt_policy_tpu.utils.misc import initialize_pretrained_weights
         pre = _load_pretrain_params(cfg.trainer.pretrain_checkpoint)
         # ema gets independent copies: shared leaves between params and
@@ -420,7 +425,8 @@ def train(cfg: RunConfig):
     # smoke runs); orbax otherwise coordinates multi-process saves itself
     ckpt = Checkpointer(run_dir / "checkpoints",
                         keep=cfg.trainer.keep_checkpoints) if checkpointing else None
-    if resume_step > 0:
+    if resuming:  # not `resume_step > 0`: a step-0 checkpoint (e.g. a
+        # converted reference checkpoint dropped into the run dir) counts
         state = ckpt.restore(state)
         logger.info("auto-resumed from step %d", int(state.step))
 
@@ -429,15 +435,15 @@ def train(cfg: RunConfig):
 
     # 3-stage pipeline: loader threads decode ahead, the prefetcher thread
     # shards+preprocesses on device ahead, the main thread only steps —
-    # host decode and H2D DMA overlap the chip's compute
+    # host decode and H2D DMA overlap the chip's compute. The init batch is
+    # already on device: preload it (don't re-transfer its raw form) and
+    # start the raw stream at the NEXT index.
     import itertools
-    if loader is not None:
-        # the init batch was already consumed from the loader; train on it too
-        raw_iter = itertools.chain([raw_batch], iter(loader))
-    else:
-        raw_iter = itertools.repeat(raw_batch)
+    raw_iter = iter(loader) if loader is not None \
+        else itertools.repeat(raw_batch)
     prefetcher = DevicePrefetcher(raw_iter, device_batch, k_prefetch, depth=2,
-                                  start_index=resume_step)
+                                  start_index=resume_step + 1,
+                                  preloaded=(batch,))
 
     profile_range = None
     profiling_active = False
@@ -453,9 +459,13 @@ def train(cfg: RunConfig):
 
     total_steps = cfg.trainer.max_epochs * cfg.trainer.steps_per_epoch
     t_last = time.perf_counter()
-    while int(state.step) < total_steps:
+    try:
+      while int(state.step) < total_steps:
         step = int(state.step)
-        if profile_range is not None and step == profile_range[0]:
+        # >= not ==: a resume landing inside (or past the start of) the
+        # range still traces the remaining steps
+        if (profile_range is not None and not profiling_active
+                and profile_range[0] <= step < profile_range[1]):
             import jax.profiler
             (run_dir / "profile").mkdir(parents=True, exist_ok=True)
             jax.profiler.start_trace(str(run_dir / "profile"))
@@ -521,21 +531,23 @@ def train(cfg: RunConfig):
                                "resume by rerunning with the same run_name",
                                int(state.step))
             break
-
-    if profiling_active:  # preempted inside the traced range
-        import jax.profiler
-        jax.profiler.stop_trace()
-    if checkpointing:
-        ckpt.wait()  # settle any in-flight async save before returning
-    for sig, h in prev_handlers.items():
-        try:
-            signal.signal(sig, h)
-        except ValueError:
-            break
-    prefetcher.close()
-    if loader is not None:
-        loader.close()
-    mlog.finish()
+    finally:
+        # an exception mid-loop must not leak signal handlers, profiler
+        # state, or the prefetch/loader threads into the caller's process
+        if profiling_active:
+            import jax.profiler
+            jax.profiler.stop_trace()
+        if checkpointing:
+            ckpt.wait()  # settle any in-flight async save before returning
+        for sig, h in prev_handlers.items():
+            try:
+                signal.signal(sig, h)
+            except ValueError:
+                break
+        prefetcher.close()
+        if loader is not None:
+            loader.close()
+        mlog.finish()
     return state
 
 

@@ -66,7 +66,9 @@ class Checkpointer:
         # only one async save may be in flight; settle the previous one
         self._ckpt.wait_until_finished()
         self._ckpt.save(path.resolve(), self._tree(state), force=True)
-        if wait:
+        if wait or metric is not None:
+            # best.json must never point at a step that wasn't committed
+            # (a hard kill mid-background-write would strand evaluate.py)
             self._ckpt.wait_until_finished()
         if metric is not None:
             self._update_best(step, metric, metric_name)

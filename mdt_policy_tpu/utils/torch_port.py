@@ -463,7 +463,7 @@ def convert_checkpoint(ckpt_path, out_dir, *, agent: str = "mdtv",
         merged[k] = v
     state = state.replace(params=merged,
                           ema_params=jax.tree.map(lambda x: x, merged))
-    Checkpointer(out_dir).save(state)
+    Checkpointer(out_dir).save(state, wait=True)  # durable before returning
     return out_dir
 
 
