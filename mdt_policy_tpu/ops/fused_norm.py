@@ -16,6 +16,13 @@ kernel (ops/fused_qkv_attention.py) these are differentiable via custom
 VJP with the XLA reference as backward — in production they sit behind
 the towers' stop_gradient, so backward is dead code.
 
+DECISION (docs/PALLAS.md): NOT routed into the towers. On-chip measurement
+(tools/norm_experiment.py, row blocks swept 256-2048) shows XLA's own norm
+emission streaming at 252 GB/s vs 85-93 GB/s for this kernel — the
+single-HBM-round-trip premise loses to Mosaic's slower cross-lane
+reduction path. Kept as a numerics-tested standalone so the measurement
+stays reproducible.
+
 Reference semantics:
 * fused_layer_norm == flax nn.LayerNorm(eps, use_scale, use_bias) — the
   CLIP towers' ln_1/ln_2/ln_pre/ln_post/ln_final (models/clip.py), ref
