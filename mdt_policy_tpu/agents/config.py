@@ -123,3 +123,10 @@ class MDTVConfig:
     # (ops/fused_qkv_attention.py): "auto" = on for TPU backends, off
     # elsewhere; measured 1.5x on the Voltron tower (docs/PALLAS.md)
     fused_tower_attention: str = "auto"
+    # MXU-stats norms in the frozen towers (ops/mxu_norm.py): measured a 3%
+    # END-TO-END REGRESSION (869.9 vs 843.9 ms/step, tools/ab_step.py;
+    # decision table in docs/PALLAS.md) despite the crawling norm reduce
+    # fusions in the trace (tools/trace_ops.py) — default off. Opt-in
+    # retained for re-measurement on other TPU generations; "auto" also
+    # resolves to off (exact flax lowering everywhere).
+    mxu_tower_norm: str = "auto"

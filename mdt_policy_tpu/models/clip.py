@@ -46,16 +46,26 @@ def quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
 
+def _ln(name: str, mxu: bool) -> nn.Module:
+    """LayerNorm factory: flax lowering or the MXU-stats drop-in
+    (ops/mxu_norm.py — identical param tree, bf16-ULP-level numerics)."""
+    if mxu:
+        from mdt_policy_tpu.ops.mxu_norm import MXULayerNorm
+        return MXULayerNorm(epsilon=1e-5, name=name)
+    return nn.LayerNorm(epsilon=1e-5, name=name)
+
+
 class ResidualAttentionBlock(nn.Module):
     width: int
     heads: int
     causal: bool = False
     fused_kernel: bool = False
+    mxu_norm: bool = False
 
     @nn.compact
     def __call__(self, x):
         B, T, C = x.shape
-        h = nn.LayerNorm(epsilon=1e-5, name="ln_1")(x)
+        h = _ln("ln_1", self.mxu_norm)(x)
         qkv = nn.Dense(3 * C, name="in_proj")(h)
         if self.fused_kernel:
             # Pallas: per-head slicing + scores + softmax + PV in VMEM off
@@ -72,7 +82,7 @@ class ResidualAttentionBlock(nn.Module):
             v = v.reshape(B, T, self.heads, hd)
             attn = sdpa(q, k, v, causal=self.causal, layout="bthd").reshape(B, T, C)
         x = x + nn.Dense(C, name="out_proj")(attn)
-        h = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
+        h = _ln("ln_2", self.mxu_norm)(x)
         h = nn.Dense(4 * C, name="c_fc")(h)
         h = quick_gelu(h)
         x = x + nn.Dense(C, name="c_proj")(h)
@@ -88,6 +98,7 @@ class CLIPVisionTower(nn.Module):
     patch_size: int = 16
     heads: int = 0  # 0 -> width // 64 (the OpenAI convention)
     fused_attention: bool = False
+    mxu_norm: bool = False
 
     @nn.compact
     def __call__(self, images: jax.Array) -> jax.Array:
@@ -104,11 +115,12 @@ class CLIPVisionTower(nn.Module):
         pos = self.param("positional_embedding", nn.initializers.normal(scale),
                          (n_pos, self.width))
         x = x + pos[None]
-        x = nn.LayerNorm(epsilon=1e-5, name="ln_pre")(x)
+        x = _ln("ln_pre", self.mxu_norm)(x)
         heads = self.heads or max(self.width // 64, 1)
         for i in range(self.layers):
             x = ResidualAttentionBlock(self.width, heads,
                                        fused_kernel=self.fused_attention,
+                                       mxu_norm=self.mxu_norm,
                                        name=f"resblock_{i}")(x)
         x = nn.LayerNorm(epsilon=1e-5, name="ln_post")(x[:, 0, :])
         proj = self.param("proj", nn.initializers.normal(scale),
@@ -126,6 +138,7 @@ class CLIPTextTower(nn.Module):
     heads: int = 8
     layers: int = 12
     fused_attention: bool = False
+    mxu_norm: bool = False
 
     @nn.compact
     def __call__(self, tokens: jax.Array) -> jax.Array:
@@ -140,6 +153,7 @@ class CLIPTextTower(nn.Module):
         for i in range(self.layers):
             x = ResidualAttentionBlock(self.width, self.heads, causal=True,
                                        fused_kernel=self.fused_attention,
+                                       mxu_norm=self.mxu_norm,
                                        name=f"resblock_{i}")(x)
         x = nn.LayerNorm(epsilon=1e-5, name="ln_final")(x)
         # pool at EOT token = highest token id per sequence

@@ -41,11 +41,15 @@ class PerceiverAttentionLayer(nn.Module):
         kv_input = jnp.concatenate([x, lat], axis=-2)
         k = nn.Dense(inner, use_bias=False, name="to_k", dtype=self.dtype)(kv_input)
         v = nn.Dense(inner, use_bias=False, name="to_v", dtype=self.dtype)(kv_input)
-        q = q.reshape(B, n_queries, self.heads, self.dim_head).transpose(0, 2, 1, 3)
-        k = k.reshape(B, -1, self.heads, self.dim_head).transpose(0, 2, 1, 3)
-        v = v.reshape(B, -1, self.heads, self.dim_head).transpose(0, 2, 1, 3)
-        out = sdpa(q, k, v)
-        out = out.transpose(0, 2, 1, 3).reshape(B, n_queries, inner)
+        # bthd layout: contract the head-interleaved tensors directly,
+        # skipping the (B,T,H,D)->(B,H,T,D) transposes on the (B, 392+lat,
+        # heads, dim_head) K/V grids. End-to-end neutral on the chip
+        # (843.9 vs 845 ms/step — XLA overlapped the copies), kept for the
+        # smaller program.
+        q = q.reshape(B, n_queries, self.heads, self.dim_head)
+        k = k.reshape(B, -1, self.heads, self.dim_head)
+        v = v.reshape(B, -1, self.heads, self.dim_head)
+        out = sdpa(q, k, v, layout="bthd").reshape(B, n_queries, inner)
         return nn.Dense(self.dim, use_bias=False, name="to_out",
                         dtype=self.dtype)(out)
 

@@ -130,11 +130,18 @@ class VoltronBlock(nn.Module):
     do_swish_glu: bool = True
     do_layer_scale: bool = True
     fused_kernel: bool = False
+    mxu_norm: bool = False
 
     @nn.compact
     def __call__(self, x):
-        norm = (lambda n: RMSNorm(name=n)) if self.do_rms_norm else \
-               (lambda n: nn.LayerNorm(epsilon=1e-6, name=n))
+        if self.mxu_norm:
+            # MXU-stats drop-ins (ops/mxu_norm.py): same param trees
+            from mdt_policy_tpu.ops.mxu_norm import MXULayerNorm, MXURMSNorm
+            norm = (lambda n: MXURMSNorm(name=n)) if self.do_rms_norm else \
+                   (lambda n: MXULayerNorm(epsilon=1e-6, name=n))
+        else:
+            norm = (lambda n: RMSNorm(name=n)) if self.do_rms_norm else \
+                   (lambda n: nn.LayerNorm(epsilon=1e-6, name=n))
         attn_out = _ViTAttention(self.dim, self.n_heads,
                          fused_kernel=self.fused_kernel,
                          name="attn")(norm("norm1")(x))
@@ -164,6 +171,7 @@ class VoltronViT(nn.Module):
     mlp_ratio: float = 4.0
     img_size: int = 224
     fused_attention: bool = False
+    mxu_norm: bool = False
 
     @nn.compact
     def __call__(self, images: jax.Array) -> jax.Array:
@@ -177,5 +185,9 @@ class VoltronViT(nn.Module):
         for i in range(self.depth):
             x = VoltronBlock(self.embed_dim, self.n_heads, self.mlp_ratio,
                              fused_kernel=self.fused_attention,
+                             mxu_norm=self.mxu_norm,
                              name=f"block_{i}")(x)
+        if self.mxu_norm:
+            from mdt_policy_tpu.ops.mxu_norm import MXULayerNorm
+            return MXULayerNorm(epsilon=1e-6, name="norm")(x)
         return nn.LayerNorm(epsilon=1e-6, name="norm")(x)

@@ -1,0 +1,94 @@
+"""MXU-stat norm drop-ins (ops/mxu_norm.py): parity with the flax/reference
+lowerings and param-tree compatibility with the modules they replace."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import flax.linen as nn
+
+from mdt_policy_tpu.models.blocks import RMSNorm
+from mdt_policy_tpu.ops.mxu_norm import MXULayerNorm, MXURMSNorm, mxu_sum_lastdim
+
+
+def test_mxu_sum_f32_rounding_level():
+    # f32 accumulation but a different contraction order than jnp.sum:
+    # agreement is f32-rounding-level, not bit-exact
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(5, 7, 384)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(mxu_sum_lastdim(x)),
+                               np.asarray(jnp.sum(x, -1)), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_layer_norm_parity(dtype):
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(4, 9, 256)), dtype)
+    ref = nn.LayerNorm(epsilon=1e-5)
+    mxu = MXULayerNorm(epsilon=1e-5)
+    p_ref = ref.init(jax.random.PRNGKey(0), x)
+    p_mxu = mxu.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(p_ref) == jax.tree_util.tree_structure(p_mxu)
+    # non-trivial scale/bias
+    p = jax.tree.map(lambda a: a + 0.3, p_ref)
+    y_ref = np.asarray(ref.apply(p, x), np.float32)
+    y_mxu = np.asarray(mxu.apply(p, x), np.float32)
+    tol = 1e-5 if dtype == jnp.float32 else 0.12  # bf16 squares in stats
+    assert np.abs(y_ref - y_mxu).max() < tol
+    assert ref.apply(p, x).dtype == mxu.apply(p, x).dtype
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_rms_norm_parity(dtype):
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(4, 9, 256)), dtype)
+    ref, mxu = RMSNorm(), MXURMSNorm()
+    p_ref = ref.init(jax.random.PRNGKey(0), x)
+    p_mxu = mxu.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(p_ref) == jax.tree_util.tree_structure(p_mxu)
+    p = jax.tree.map(lambda a: a + 0.25, p_ref)
+    y_ref = np.asarray(ref.apply(p, x), np.float32)
+    y_mxu = np.asarray(mxu.apply(p, x), np.float32)
+    tol = 1e-5 if dtype == jnp.float32 else 0.12
+    assert np.abs(y_ref - y_mxu).max() < tol
+
+
+def test_towers_tree_compatible_and_close():
+    """mxu_norm=True must restore the same checkpoints (identical param
+    trees) and agree with the exact lowering in f32."""
+    from mdt_policy_tpu.models.clip import CLIPVisionTower
+    from mdt_policy_tpu.models.voltron_vit import VoltronViT
+
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.uniform(size=(2, 32, 32, 3)), jnp.float32)
+    outs, trees = [], []
+    for mxu in (False, True):
+        tow = CLIPVisionTower(embed_dim=64, image_resolution=32, layers=2,
+                              width=64, patch_size=16, mxu_norm=mxu)
+        p = tow.init(jax.random.PRNGKey(0), img)
+        outs.append(np.asarray(tow.apply(p, img)))
+        trees.append(jax.tree_util.tree_structure(p))
+    assert trees[0] == trees[1]
+    assert np.abs(outs[0] - outs[1]).max() < 1e-4
+
+    outs, trees = [], []
+    for mxu in (False, True):
+        vit = VoltronViT(patch_size=16, embed_dim=64, depth=2, n_heads=2,
+                         img_size=32, mxu_norm=mxu)
+        p = vit.init(jax.random.PRNGKey(0), img)
+        outs.append(np.asarray(vit.apply(p, img)))
+        trees.append(jax.tree_util.tree_structure(p))
+    assert trees[0] == trees[1]
+    assert np.abs(outs[0] - outs[1]).max() < 1e-4
+
+
+def test_resolver():
+    from mdt_policy_tpu.agents.mdtv_agent import resolve_mxu_norm
+
+    class C:
+        mxu_tower_norm = True
+    assert resolve_mxu_norm(C()) is True
+    C.mxu_tower_norm = False
+    assert resolve_mxu_norm(C()) is False
+    C.mxu_tower_norm = "auto"  # auto -> off everywhere (measured regression)
+    assert resolve_mxu_norm(C()) is False

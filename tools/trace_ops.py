@@ -1,0 +1,143 @@
+"""Per-op device-time breakdown of the production train step.
+
+Runs the full dual-modality B=512 train step under jax.profiler.trace and
+aggregates the TPU device plane of the resulting xplane.pb: every XEvent on
+a device line is one executed HLO, so summing durations per (deduplicated)
+op name gives where the step actually spends its time. Categories follow
+docs/BENCHMARKING.md (matmul/conv fusions vs norm reduces vs copies vs
+Pallas vs elementwise).
+
+Usage: python tools/trace_ops.py [B] [--steps N]
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+import sys
+import tempfile
+import time
+from collections import defaultdict
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def classify(name: str) -> str:
+    n = name.lower()
+    if "custom-call" in n or "tpu_custom_call" in n or "mosaic" in n:
+        return "pallas custom-call"
+    if n.startswith(("copy", "transpose", "bitcast")) or ".copy" in n:
+        return "copy/transpose"
+    if n.startswith(("convolution", "dot", "cublas")):
+        return "bare matmul/conv"
+    if "reduce" in n:
+        return "reduce fusion (norm stats etc)"
+    if n.startswith("fusion"):
+        return "fusion (mixed)"
+    if n.startswith(("dynamic-update-slice", "dynamic-slice", "slice", "concatenate", "pad", "reshape")):
+        return "data movement"
+    if n.startswith(("all-reduce", "all-gather", "collective")):
+        return "collective"
+    return "other"
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from mdt_policy_tpu.agents import MDTVConfig, init_agent, train_step
+    from mdt_policy_tpu.utils.misc import enable_compile_cache
+    enable_compile_cache()
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 512
+    n_steps = 2
+    cfg = MDTVConfig()
+    rng = np.random.default_rng(0)
+
+    def scope():
+        return {
+            "rgb_static": jnp.asarray(rng.uniform(size=(B, 2, 224, 224, 3)), jnp.bfloat16),
+            "rgb_gripper": jnp.asarray(rng.uniform(size=(B, 2, 224, 224, 3)), jnp.bfloat16),
+            "gen_static": jnp.asarray(rng.uniform(size=(B, 112, 112, 3)), jnp.float32),
+            "gen_gripper": jnp.asarray(rng.uniform(size=(B, 112, 112, 3)), jnp.float32),
+            "actions": jnp.asarray(rng.normal(size=(B, 10, 7)), jnp.float32),
+            "lang_tokens": jnp.asarray(rng.integers(1, 49408, size=(B, 77)), jnp.int32),
+        }
+
+    batch = {"vis": scope(), "lang": scope()}
+    print(f"init (B={B}/modality) ...", flush=True)
+    net, state = init_agent(cfg, jax.random.PRNGKey(0), batch["lang"])
+    jitted = jax.jit(partial(train_step, net), donate_argnums=(0,))
+    key = jax.random.PRNGKey(1)
+    state, _ = jitted(state, batch, key)
+    np.asarray(state.params["inner"]["tok_emb"]["kernel"][0, 0])  # drain
+
+    tmp = tempfile.mkdtemp(prefix="mdt_trace_")
+    jax.profiler.start_trace(tmp)
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, _ = jitted(state, batch, jax.random.fold_in(key, i))
+    np.asarray(state.params["inner"]["tok_emb"]["kernel"][0, 0])
+    wall = (time.perf_counter() - t0) / n_steps
+    jax.profiler.stop_trace()
+    print(f"traced {n_steps} steps, wall {wall*1e3:.0f} ms/step")
+
+    files = glob.glob(os.path.join(tmp, "**", "*.xplane.pb"), recursive=True)
+    assert files, f"no xplane.pb under {tmp}"
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    space = xplane_pb2.XSpace()
+    with open(max(files, key=os.path.getmtime), "rb") as f:
+        space.ParseFromString(f.read())
+
+    per_op = defaultdict(float)
+    total = 0.0
+    for plane in space.planes:
+        if "TPU" not in plane.name and "device" not in plane.name.lower():
+            continue
+        if "host" in plane.name.lower():
+            continue
+        meta = {m.id: m.name for m in plane.event_metadata.values()} if \
+            hasattr(plane.event_metadata, "values") else {}
+        if not meta:
+            meta = {k: v.name for k, v in plane.event_metadata.items()}
+        for line in plane.lines:
+            # only op-level lines (XLA Ops); step/module lines double-count
+            if "op" not in line.name.lower() and "xla" not in line.name.lower():
+                continue
+            for ev in line.events:
+                name = meta.get(ev.metadata_id, str(ev.metadata_id))
+                dur = ev.duration_ps / 1e12
+                base = re.sub(r"[.\d]+$", "", name)
+                per_op[base] += dur
+                total += dur
+        if total:
+            print(f"[plane: {plane.name}]")
+            break
+
+    if not total:
+        print("No device op events found; plane names were:")
+        for plane in space.planes:
+            print("  ", plane.name, [ln.name for ln in plane.lines][:6])
+        return
+
+    per_step = total / n_steps
+    print(f"\ndevice op time: {per_step*1e3:.0f} ms/step "
+          f"(wall {wall*1e3:.0f} ms)\n")
+    cats = defaultdict(float)
+    for op, t in per_op.items():
+        cats[classify(op)] += t
+    print("== category rollup ==")
+    for cat, t in sorted(cats.items(), key=lambda kv: -kv[1]):
+        print(f"  {cat:34s} {t/n_steps*1e3:8.1f} ms  {t/total*100:5.1f}%")
+    print("\n== top 40 ops ==")
+    for op, t in sorted(per_op.items(), key=lambda kv: -kv[1])[:40]:
+        print(f"  {op:60s} {t/n_steps*1e3:8.2f} ms  {t/total*100:5.1f}%")
+    print(f"\ntrace dir kept: {tmp}")
+
+
+if __name__ == "__main__":
+    main()
