@@ -27,6 +27,7 @@ stop_gradient, so the backward is dead code XLA removes.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -64,6 +65,35 @@ def _kernel(qkv_ref, o_ref, *, n_heads: int, causal: bool):
         o_ref[:, :, h * dh:(h + 1) * dh] = out.astype(o_ref.dtype)
 
 
+def _kernel_pair(q_ref, k_ref, v_ref, o_ref, *, causal: bool):
+    """Head-pair grid cell: the BlockSpec index maps already selected one
+    128-lane pair of 64-wide heads, so the only in-register slicing is the
+    two halves of a single lane tile. Measured 1.09-1.12x over the head-loop
+    kernel at tower shapes (tools/attn_kernel_experiment.py, bB=16; 20 is
+    0.7x — keep the block a power of two)."""
+    q = q_ref[:]  # (bB, T, 128)
+    k = k_ref[:]
+    v = v_ref[:]
+    T = q.shape[1]
+    if causal:
+        row = lax.broadcasted_iota(jnp.int32, (T, T), 0)
+        col = lax.broadcasted_iota(jnp.int32, (T, T), 1)
+        cmask = (col <= row)[None]
+    for h in range(2):
+        sl = slice(h * 64, (h + 1) * 64)
+        qh, kh, vh = q[:, :, sl], k[:, :, sl], v[:, :, sl]
+        scores = lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * (64 ** -0.5)
+        if causal:
+            scores = jnp.where(cmask, scores, jnp.finfo(jnp.float32).min)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = lax.dot_general(
+            probs.astype(vh.dtype), vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        o_ref[:, :, sl] = out.astype(o_ref.dtype)
+
+
 def _reference(qkv, n_heads, causal):
     """XLA einsum attention on the packed qkv — backward path + numerics
     oracle (same math as ops.attention.sdpa layout='bthd')."""
@@ -90,24 +120,28 @@ def _auto_block_b(T: int, C: int, itemsize: int = 2) -> int:
     return max(1, min(8, (12 << 20) // per_img))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
 def fused_qkv_attention(qkv: jax.Array, n_heads: int, causal: bool = False,
-                        block_b: int = 0, interpret: bool = False) -> jax.Array:
+                        block_b: int = 0, interpret: bool = False,
+                        variant: str = "auto") -> jax.Array:
     """Attention over the packed projection output.
 
     qkv: (B, T, 3C) laid out [q | k | v] along the channel axis, each C wide
     with n_heads interleaved head slices of C // n_heads.
     block_b: images per grid cell; 0 = auto (VMEM-budget heuristic).
+    variant: "auto" | "pair" | "head_loop". Auto picks the head-pair grid
+    when eligible (dh=64, C%128==0, even heads — all three towers qualify);
+    MDT_ATTN_VARIANT env overrides at trace time (measurement hook).
     Returns (B, T, C) — the head-concatenated attention output.
     """
-    return _impl(qkv, n_heads, causal, block_b, interpret)
+    return _impl(qkv, n_heads, causal, block_b, interpret, variant)
 
 
-def _fwd(qkv, n_heads, causal, block_b, interpret):
-    return _impl(qkv, n_heads, causal, block_b, interpret), (qkv,)
+def _fwd(qkv, n_heads, causal, block_b, interpret, variant):
+    return _impl(qkv, n_heads, causal, block_b, interpret, variant), (qkv,)
 
 
-def _bwd(n_heads, causal, block_b, interpret, res, g):
+def _bwd(n_heads, causal, block_b, interpret, variant, res, g):
     (qkv,) = res
     _, vjp = jax.vjp(lambda x: _reference(x, n_heads, causal), qkv)
     return vjp(g)
@@ -116,12 +150,46 @@ def _bwd(n_heads, causal, block_b, interpret, res, g):
 fused_qkv_attention.defvjp(_fwd, _bwd)
 
 
+def _pair_eligible(C: int, n_heads: int) -> bool:
+    return C % 128 == 0 and n_heads % 2 == 0 and C // n_heads == 64
+
+
 @functools.partial(jax.jit, static_argnames=("n_heads", "causal", "block_b",
-                                             "interpret"))
-def _impl(qkv, n_heads, causal, block_b, interpret):
+                                             "interpret", "variant"))
+def _impl(qkv, n_heads, causal, block_b, interpret, variant="auto"):
     B, T, C3 = qkv.shape
     C = C3 // 3
     assert C % n_heads == 0, (C, n_heads)
+    variant = os.environ.get("MDT_ATTN_VARIANT", variant)
+    if variant == "auto":
+        # pair is 1.09-1.12x in tower-shape microbenches
+        # (tools/attn_kernel_experiment.py) but stays opt-in until the
+        # end-to-end step A/B confirms it (tunnel outage pending)
+        variant = "head_loop"
+    if variant == "pair":
+        assert _pair_eligible(C, n_heads), (C, n_heads)
+        bB = block_b or 16  # power of two; 20 measured 0.7x, 24+ overflows
+        Bp = (B + bB - 1) // bB * bB
+        if Bp != B:
+            qkv = jnp.pad(qkv, ((0, Bp - B), (0, 0), (0, 0)))
+        cb = C // 128
+        q_spec = pl.BlockSpec((bB, T, 128), lambda i, j: (i, 0, j),
+                              memory_space=pltpu.VMEM)
+        k_spec = pl.BlockSpec((bB, T, 128), lambda i, j: (i, 0, cb + j),
+                              memory_space=pltpu.VMEM)
+        v_spec = pl.BlockSpec((bB, T, 128), lambda i, j: (i, 0, 2 * cb + j),
+                              memory_space=pltpu.VMEM)
+        o_spec = pl.BlockSpec((bB, T, 128), lambda i, j: (i, 0, j),
+                              memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            functools.partial(_kernel_pair, causal=causal),
+            out_shape=jax.ShapeDtypeStruct((Bp, T, C), qkv.dtype),
+            grid=(Bp // bB, n_heads // 2),
+            in_specs=[q_spec, k_spec, v_spec],
+            out_specs=o_spec,
+            interpret=interpret,
+        )(qkv, qkv, qkv)
+        return out[:B]
     if not block_b:
         block_b = _auto_block_b(T, C, qkv.dtype.itemsize)
     Bp = (B + block_b - 1) // block_b * block_b

@@ -61,6 +61,34 @@ def test_fused_kernel_pads_ragged_batch():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("B,T,C,H,causal", [
+    (5, 13, 128, 2, False),   # minimal eligible pair shape
+    (3, 21, 256, 4, True),    # causal (CLIP-text regime, dh=64)
+])
+def test_pair_variant_matches_reference(B, T, C, H, causal):
+    """The head-pair-grid variant (production on TPU for the towers: dh=64,
+    C%128==0) computes the same attention as the reference."""
+    rng = np.random.default_rng(7)
+    qkv = jnp.asarray(rng.normal(size=(B, T, 3 * C)), jnp.float32)
+    ref = _reference(qkv, H, causal)
+    out = fused_qkv_attention(qkv, H, causal, 2, True, "pair")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # "auto" (head_loop until the end-to-end A/B lands) — same numbers
+    auto = fused_qkv_attention(qkv, H, causal, 2, True, "auto")
+    np.testing.assert_allclose(np.asarray(auto), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pair_variant_eligibility():
+    from mdt_policy_tpu.ops.fused_qkv_attention import _pair_eligible
+    assert _pair_eligible(384, 6) and _pair_eligible(768, 12) \
+        and _pair_eligible(512, 8)  # all three production towers
+    assert not _pair_eligible(384, 3)   # odd heads
+    assert not _pair_eligible(192, 3)   # C % 128 != 0
+    assert not _pair_eligible(256, 8)   # dh != 64
+
+
 def test_auto_block_b_budget():
     # production shapes: voltron ViT-S (196, 384) -> 8; CLIP ViT-B/16
     # (197, 768) -> 4 (fits the 16 MiB scoped-VMEM limit with double

@@ -7,7 +7,13 @@ op name gives where the step actually spends its time. Categories follow
 docs/BENCHMARKING.md (matmul/conv fusions vs norm reduces vs copies vs
 Pallas vs elementwise).
 
-Usage: python tools/trace_ops.py [B] [--steps N]
+Only the device plane's 'XLA Ops' line is summed — it is the serialized
+op-execution timeline (its total matches wall step time). 'Async XLA Ops'
+(copy-start/slice-start prefetches) OVERLAP compute and the 'XLA Modules'
+line double-counts every op, so naive whole-plane sums read ~4x wall.
+
+Usage: python tools/trace_ops.py [B]           # trace + analyze
+       python tools/trace_ops.py /tmp/mdt_trace_xyz [n_steps]  # re-analyze
 """
 
 from __future__ import annotations
@@ -45,7 +51,65 @@ def classify(name: str) -> str:
     return "other"
 
 
+def analyze(tmp: str, n_steps: int, wall: float | None = None) -> None:
+    files = glob.glob(os.path.join(tmp, "**", "*.xplane.pb"), recursive=True)
+    assert files, f"no xplane.pb under {tmp}"
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    space = xplane_pb2.XSpace()
+    with open(max(files, key=os.path.getmtime), "rb") as f:
+        space.ParseFromString(f.read())
+
+    per_op = defaultdict(float)
+    total = 0.0
+    for plane in space.planes:
+        if "TPU" not in plane.name and "device" not in plane.name.lower():
+            continue
+        if "host" in plane.name.lower():
+            continue
+        meta = {k: v.name for k, v in plane.event_metadata.items()}
+        for line in plane.lines:
+            # ONLY the serialized op timeline; Async XLA Ops overlap compute
+            # and XLA Modules double-counts (see module docstring)
+            if line.name != "XLA Ops":
+                continue
+            for ev in line.events:
+                name = meta.get(ev.metadata_id, str(ev.metadata_id))
+                dur = ev.duration_ps / 1e12
+                base = re.sub(r"[.\d]+$", "", name)
+                per_op[base] += dur
+                total += dur
+        if total:
+            print(f"[plane: {plane.name}]")
+            break
+
+    if not total:
+        print("No 'XLA Ops' line found; plane/line names were:")
+        for plane in space.planes:
+            print("  ", plane.name, [ln.name for ln in plane.lines][:6])
+        return
+
+    per_step = total / n_steps
+    print(f"\ndevice op time: {per_step*1e3:.0f} ms/step"
+          + (f" (wall {wall*1e3:.0f} ms)" if wall else "") + "\n")
+    cats = defaultdict(float)
+    for op, t in per_op.items():
+        cats[classify(op)] += t
+    print("== category rollup ==")
+    for cat, t in sorted(cats.items(), key=lambda kv: -kv[1]):
+        print(f"  {cat:34s} {t/n_steps*1e3:8.1f} ms  {t/total*100:5.1f}%")
+    print("\n== top 40 ops ==")
+    for op, t in sorted(per_op.items(), key=lambda kv: -kv[1])[:40]:
+        print(f"  {op[:90]:90s} {t/n_steps*1e3:8.2f} ms  {t/total*100:5.1f}%")
+    print(f"\ntrace dir kept: {tmp}")
+
+
 def main():
+    if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]):
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+        analyze(sys.argv[1], n)
+        return
+
     import jax
     import jax.numpy as jnp
     from mdt_policy_tpu.agents import MDTVConfig, init_agent, train_step
@@ -84,59 +148,7 @@ def main():
     wall = (time.perf_counter() - t0) / n_steps
     jax.profiler.stop_trace()
     print(f"traced {n_steps} steps, wall {wall*1e3:.0f} ms/step")
-
-    files = glob.glob(os.path.join(tmp, "**", "*.xplane.pb"), recursive=True)
-    assert files, f"no xplane.pb under {tmp}"
-    from tensorflow.tsl.profiler.protobuf import xplane_pb2
-
-    space = xplane_pb2.XSpace()
-    with open(max(files, key=os.path.getmtime), "rb") as f:
-        space.ParseFromString(f.read())
-
-    per_op = defaultdict(float)
-    total = 0.0
-    for plane in space.planes:
-        if "TPU" not in plane.name and "device" not in plane.name.lower():
-            continue
-        if "host" in plane.name.lower():
-            continue
-        meta = {m.id: m.name for m in plane.event_metadata.values()} if \
-            hasattr(plane.event_metadata, "values") else {}
-        if not meta:
-            meta = {k: v.name for k, v in plane.event_metadata.items()}
-        for line in plane.lines:
-            # only op-level lines (XLA Ops); step/module lines double-count
-            if "op" not in line.name.lower() and "xla" not in line.name.lower():
-                continue
-            for ev in line.events:
-                name = meta.get(ev.metadata_id, str(ev.metadata_id))
-                dur = ev.duration_ps / 1e12
-                base = re.sub(r"[.\d]+$", "", name)
-                per_op[base] += dur
-                total += dur
-        if total:
-            print(f"[plane: {plane.name}]")
-            break
-
-    if not total:
-        print("No device op events found; plane names were:")
-        for plane in space.planes:
-            print("  ", plane.name, [ln.name for ln in plane.lines][:6])
-        return
-
-    per_step = total / n_steps
-    print(f"\ndevice op time: {per_step*1e3:.0f} ms/step "
-          f"(wall {wall*1e3:.0f} ms)\n")
-    cats = defaultdict(float)
-    for op, t in per_op.items():
-        cats[classify(op)] += t
-    print("== category rollup ==")
-    for cat, t in sorted(cats.items(), key=lambda kv: -kv[1]):
-        print(f"  {cat:34s} {t/n_steps*1e3:8.1f} ms  {t/total*100:5.1f}%")
-    print("\n== top 40 ops ==")
-    for op, t in sorted(per_op.items(), key=lambda kv: -kv[1])[:40]:
-        print(f"  {op:60s} {t/n_steps*1e3:8.2f} ms  {t/total*100:5.1f}%")
-    print(f"\ntrace dir kept: {tmp}")
+    analyze(tmp, n_steps, wall)
 
 
 if __name__ == "__main__":
