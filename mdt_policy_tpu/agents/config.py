@@ -123,6 +123,13 @@ class MDTVConfig:
     # (ops/fused_qkv_attention.py): "auto" = on for TPU backends, off
     # elsewhere; measured 1.5x on the Voltron tower (docs/PALLAS.md)
     fused_tower_attention: str = "auto"
+    # Run each frozen tower's 12 identical blocks as ONE lax.scan block over
+    # depth-stacked params (models/layer_stack.py converts checkpoints
+    # between layouts): ~10x smaller HLO -> much faster cold compiles and
+    # headroom under the remote-compile module-size limit that rejects
+    # B=1024. Default off (the unrolled layout is the checkpoint/port
+    # layout; step-time impact measured via tools/ab_step.py).
+    scan_tower_layers: bool = False
     # MXU-stats norms in the frozen towers (ops/mxu_norm.py): measured a 3%
     # END-TO-END REGRESSION (869.9 vs 843.9 ms/step, tools/ab_step.py;
     # decision table in docs/PALLAS.md) despite the crawling norm reduce

@@ -103,10 +103,12 @@ class MDTVAgentNet(nn.Module):
         c = self.cfg
         fused_attn = resolve_fused_attention(c)
         mxu_norm = resolve_mxu_norm(c)
+        scan_layers = bool(getattr(c, "scan_tower_layers", False))
         self.img_encoder = VoltronViT(
             patch_size=c.vit_patch, embed_dim=c.perceiver_dim, depth=c.vit_depth,
             n_heads=c.vit_heads, img_size=c.img_size,
-            fused_attention=fused_attn, mxu_norm=mxu_norm, name="img_encoder")
+            fused_attention=fused_attn, mxu_norm=mxu_norm,
+            scan_layers=scan_layers, name="img_encoder")
         # remat: the perceiver's K/V activations over the 392-token voltron
         # grid dominate backward memory at production batch; recompute-in-
         # backward trades a cheap re-forward for ~GBs of residuals
@@ -121,12 +123,13 @@ class MDTVAgentNet(nn.Module):
             embed_dim=c.clip_embed_dim, image_resolution=c.img_size,
             layers=c.clip_vision_layers, width=c.clip_vision_width,
             patch_size=c.clip_vision_patch, fused_attention=fused_attn,
-            mxu_norm=mxu_norm, name="visual_goal")
+            mxu_norm=mxu_norm, scan_layers=scan_layers, name="visual_goal")
         self.language_goal = CLIPTextTower(
             embed_dim=c.clip_embed_dim, context_length=c.clip_context_length,
             vocab_size=c.clip_vocab_size, width=c.clip_text_width,
             heads=c.clip_text_heads, layers=c.clip_text_layers,
-            fused_attention=fused_attn, mxu_norm=mxu_norm, name="language_goal")
+            fused_attention=fused_attn, mxu_norm=mxu_norm,
+            scan_layers=scan_layers, name="language_goal")
         self.inner = MDTVTransformer(
             obs_dim=c.obs_dim, goal_dim=c.goal_dim, action_dim=c.action_dim,
             proprio_dim=c.proprio_dim, embed_dim=c.embed_dim,

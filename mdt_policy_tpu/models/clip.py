@@ -89,6 +89,41 @@ class ResidualAttentionBlock(nn.Module):
         return x
 
 
+class _CLIPScanShim(nn.Module):
+    """nn.scan carrier around ResidualAttentionBlock; params stack under
+    <scan>/block/... on a leading depth axis (models/layer_stack.py)."""
+    width: int
+    heads: int
+    causal: bool
+    fused_kernel: bool
+
+    @nn.compact
+    def __call__(self, x, _):
+        y = ResidualAttentionBlock(self.width, self.heads, causal=self.causal,
+                                   fused_kernel=self.fused_kernel,
+                                   name="block")(x)
+        return y, None
+
+
+def _apply_blocks(x, *, layers, width, heads, causal, fused, mxu_norm,
+                  scan_layers, name_prefix="resblock_"):
+    """The 12-block stack: unrolled (per-layer params, checkpoint layout)
+    or one lax.scan block over stacked params (~10x smaller HLO)."""
+    if scan_layers:
+        assert not mxu_norm, "scan_layers + mxu_norm not wired"
+        scan = nn.scan(_CLIPScanShim,
+                       variable_axes={"params": 0},
+                       split_rngs={"params": True},
+                       length=layers)
+        x, _ = scan(width, heads, causal, fused, name="blocks")(x, None)
+        return x
+    for i in range(layers):
+        x = ResidualAttentionBlock(width, heads, causal=causal,
+                                   fused_kernel=fused, mxu_norm=mxu_norm,
+                                   name=f"{name_prefix}{i}")(x)
+    return x
+
+
 class CLIPVisionTower(nn.Module):
     """CLIP ViT image encoder -> (B, embed_dim) (ref clip.py:266-307)."""
     embed_dim: int = 512
@@ -99,6 +134,7 @@ class CLIPVisionTower(nn.Module):
     heads: int = 0  # 0 -> width // 64 (the OpenAI convention)
     fused_attention: bool = False
     mxu_norm: bool = False
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, images: jax.Array) -> jax.Array:
@@ -117,11 +153,9 @@ class CLIPVisionTower(nn.Module):
         x = x + pos[None]
         x = _ln("ln_pre", self.mxu_norm)(x)
         heads = self.heads or max(self.width // 64, 1)
-        for i in range(self.layers):
-            x = ResidualAttentionBlock(self.width, heads,
-                                       fused_kernel=self.fused_attention,
-                                       mxu_norm=self.mxu_norm,
-                                       name=f"resblock_{i}")(x)
+        x = _apply_blocks(x, layers=self.layers, width=self.width, heads=heads,
+                          causal=False, fused=self.fused_attention,
+                          mxu_norm=self.mxu_norm, scan_layers=self.scan_layers)
         x = nn.LayerNorm(epsilon=1e-5, name="ln_post")(x[:, 0, :])
         proj = self.param("proj", nn.initializers.normal(scale),
                           (self.width, self.embed_dim))
@@ -139,6 +173,7 @@ class CLIPTextTower(nn.Module):
     layers: int = 12
     fused_attention: bool = False
     mxu_norm: bool = False
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, tokens: jax.Array) -> jax.Array:
@@ -150,11 +185,10 @@ class CLIPTextTower(nn.Module):
         pos = self.param("positional_embedding", nn.initializers.normal(0.01),
                          (self.context_length, self.width))
         x = x + pos[None]
-        for i in range(self.layers):
-            x = ResidualAttentionBlock(self.width, self.heads, causal=True,
-                                       fused_kernel=self.fused_attention,
-                                       mxu_norm=self.mxu_norm,
-                                       name=f"resblock_{i}")(x)
+        x = _apply_blocks(x, layers=self.layers, width=self.width,
+                          heads=self.heads, causal=True,
+                          fused=self.fused_attention, mxu_norm=self.mxu_norm,
+                          scan_layers=self.scan_layers)
         x = nn.LayerNorm(epsilon=1e-5, name="ln_final")(x)
         # pool at EOT token = highest token id per sequence
         eot = jnp.argmax(tokens, axis=-1)

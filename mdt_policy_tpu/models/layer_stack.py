@@ -1,0 +1,87 @@
+"""Scan-over-layers for the frozen towers: param-layout helpers.
+
+The towers unroll 12 identical transformer blocks into the HLO (3 towers
+x 12 blocks x 2 modalities in the production train step), which dominates
+program size — the axon remote compile helper rejects the B=1024 step at
+1.8 MB of MLIR, and cold compiles run minutes. With `scan_layers=True` the
+towers run ONE block under `lax.scan` over params stacked on a leading
+depth axis (the MaxText/Praxis idiom): the block compiles once, program
+size drops ~10x. Math is identical — same ops, same per-layer weights,
+sequential order preserved.
+
+Param layouts:
+  unrolled (default, checkpoint/port layout):  {f"{prefix}{i}": tree_i}
+  scanned:  {stack_name: {"block": tree}} with every leaf stacked on axis 0
+
+`stack_layer_params` / `unstack_layer_params` convert between them, so
+checkpoints saved in either layout restore into the other. Weight ports
+(utils/torch_port.py) always emit the unrolled layout; convert after.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["stack_layer_params", "unstack_layer_params",
+           "convert_tower_layout"]
+
+# tower-module block-name prefixes (models/voltron_vit.py, models/clip.py)
+_TOWER_PREFIXES = {"img_encoder": "block_", "visual_goal": "resblock_",
+                   "language_goal": "resblock_"}
+_STACK_NAME = "blocks"
+
+
+def stack_layer_params(params: Dict, prefix: str,
+                       stack_name: str = _STACK_NAME) -> Dict:
+    """{f"{prefix}{i}": tree_i} -> {stack_name: {"block": stacked tree}}.
+
+    Non-matching keys pass through untouched. Layers are stacked in index
+    order; missing indices raise.
+    """
+    pat = re.compile(re.escape(prefix) + r"(\d+)$")
+    layers = {}
+    rest = {}
+    for k, v in params.items():
+        m = pat.match(k)
+        if m:
+            layers[int(m.group(1))] = v
+        else:
+            rest[k] = v
+    if not layers:
+        return dict(params)
+    depth = max(layers) + 1
+    missing = [i for i in range(depth) if i not in layers]
+    if missing:
+        raise ValueError(f"missing layers {missing} for prefix {prefix!r}")
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
+                           *[layers[i] for i in range(depth)])
+    rest[stack_name] = {"block": stacked}
+    return rest
+
+
+def unstack_layer_params(params: Dict, prefix: str,
+                         stack_name: str = _STACK_NAME) -> Dict:
+    """Inverse of stack_layer_params."""
+    if stack_name not in params:
+        return dict(params)
+    rest = {k: v for k, v in params.items() if k != stack_name}
+    stacked = params[stack_name]["block"]
+    depth = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    for i in range(depth):
+        rest[f"{prefix}{i}"] = jax.tree.map(lambda x, i=i: x[i], stacked)
+    return rest
+
+
+def convert_tower_layout(params: Dict, *, to_scan: bool) -> Dict:
+    """Convert a FULL agent param tree between the unrolled and scanned
+    tower layouts (the three frozen towers; everything else untouched)."""
+    out = dict(params)
+    fn = stack_layer_params if to_scan else unstack_layer_params
+    for tower, prefix in _TOWER_PREFIXES.items():
+        if tower in out:
+            out[tower] = fn(out[tower], prefix)
+    return out

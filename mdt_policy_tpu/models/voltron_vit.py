@@ -160,10 +160,30 @@ class VoltronBlock(nn.Module):
         return x + mlp_out
 
 
+class _VoltronScanShim(nn.Module):
+    """nn.scan carrier: (carry, None) -> (carry, None) around VoltronBlock.
+    Params live under <scan>/block/... stacked on a leading depth axis
+    (models/layer_stack.py converts to/from the per-layer layout)."""
+    dim: int
+    n_heads: int
+    mlp_ratio: float
+    fused_kernel: bool
+
+    @nn.compact
+    def __call__(self, x, _):
+        y = VoltronBlock(self.dim, self.n_heads, self.mlp_ratio,
+                         fused_kernel=self.fused_kernel, name="block")(x)
+        return y, None
+
+
 class VoltronViT(nn.Module):
     """ViT token encoder standing in for the frozen Voltron `v-cond` backbone
     (ref mdt/models/perceptual_encoders/voltron_encoder.py:72-105): returns the
-    full patch-token grid, e.g. (B, 196, 384) for 224px/16 ViT-S."""
+    full patch-token grid, e.g. (B, 196, 384) for 224px/16 ViT-S.
+
+    scan_layers: run the depth-12 stack as ONE block under lax.scan over
+    stacked params (~10x smaller HLO, same math; models/layer_stack.py has
+    the param-layout converters)."""
     patch_size: int = 16
     embed_dim: int = 384
     depth: int = 12
@@ -172,6 +192,7 @@ class VoltronViT(nn.Module):
     img_size: int = 224
     fused_attention: bool = False
     mxu_norm: bool = False
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, images: jax.Array) -> jax.Array:
@@ -182,11 +203,20 @@ class VoltronViT(nn.Module):
         # keep the compute dtype (bf16 path): a float32 constant would silently
         # upcast every downstream op
         x = x + jnp.asarray(pe, x.dtype)[None]
-        for i in range(self.depth):
-            x = VoltronBlock(self.embed_dim, self.n_heads, self.mlp_ratio,
-                             fused_kernel=self.fused_attention,
-                             mxu_norm=self.mxu_norm,
-                             name=f"block_{i}")(x)
+        if self.scan_layers:
+            assert not self.mxu_norm, "scan_layers + mxu_norm not wired"
+            scan = nn.scan(_VoltronScanShim,
+                           variable_axes={"params": 0},
+                           split_rngs={"params": True},
+                           length=self.depth)
+            x, _ = scan(self.embed_dim, self.n_heads, self.mlp_ratio,
+                        fused_kernel=self.fused_attention, name="blocks")(x, None)
+        else:
+            for i in range(self.depth):
+                x = VoltronBlock(self.embed_dim, self.n_heads, self.mlp_ratio,
+                                 fused_kernel=self.fused_attention,
+                                 mxu_norm=self.mxu_norm,
+                                 name=f"block_{i}")(x)
         if self.mxu_norm:
             from mdt_policy_tpu.ops.mxu_norm import MXULayerNorm
             return MXULayerNorm(epsilon=1e-6, name="norm")(x)
