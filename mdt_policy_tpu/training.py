@@ -407,8 +407,13 @@ def train(cfg: RunConfig):
     net, state = init(agent_cfg, k_init, batch["lang"])
 
     if cfg.trainer.pretrain_checkpoint and not resuming:
+        from mdt_policy_tpu.models.layer_stack import convert_tower_layout
         from mdt_policy_tpu.utils.misc import initialize_pretrained_weights
         pre = _load_pretrain_params(cfg.trainer.pretrain_checkpoint)
+        # warm starts work across tower layouts: convert the loaded tree to
+        # this run's layout (no-op when they already match)
+        pre = convert_tower_layout(
+            pre, to_scan=bool(getattr(agent_cfg, "scan_tower_layers", False)))
         # ema gets independent copies: shared leaves between params and
         # ema_params would be the SAME buffer donated twice in the train step
         pre_ema = jax.tree_util.tree_map(np.array, pre)

@@ -138,3 +138,8 @@ def test_agent_scan_step_matches_unrolled():
     # round trip back to the unrolled layout
     back = convert_tower_layout(conv, to_scan=False)
     _tree_equal(back, state.params)
+
+    # idempotence: converting an already-converted tree is a no-op (the
+    # warm-start path relies on this to accept either layout)
+    _tree_equal(convert_tower_layout(conv, to_scan=True), conv)
+    _tree_equal(convert_tower_layout(back, to_scan=False), back)
