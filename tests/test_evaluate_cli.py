@@ -74,6 +74,31 @@ def test_mdt_restore_and_evaluate(tmp_path):
     assert results == [5]
 
 
+def test_scan_tower_run_restores_and_evaluates(tmp_path):
+    """A run trained with scan_tower_layers=True checkpoints the stacked
+    tower layout; the config snapshot carries the flag, so build_policy
+    inits the matching model and the orbax restore lines up."""
+    cfg = _tiny_run(tmp_path, "mdtv", "scanrun")
+    cfg.agent_overrides = dict(TINY_OVERRIDES, scan_tower_layers=True)
+    train(cfg)
+    run_dir = tmp_path / "scanrun"
+
+    from mdt_policy_tpu.evaluate import build_policy
+    policy, agent_cfg, run_cfg = build_policy(str(run_dir), num_sampling_steps=2)
+    assert agent_cfg.scan_tower_layers is True
+
+    from mdt_policy_tpu.evaluation import evaluate_policy, get_sequences
+    from mdt_policy_tpu.evaluation.annotations import make_goal_fn
+    from mdt_policy_tpu.evaluation.fake_env import FakeEnv, ScriptedOracle
+    get_sequences.cache_clear()
+    env = FakeEnv(img_hw=32, gripper_hw=32)
+    oracle = ScriptedOracle(default=1)
+    goal_fn = make_goal_fn(agent_cfg.clip_context_length)
+    results = evaluate_policy(policy, env, oracle, goal_fn, num_sequences=1,
+                              ep_len=3, progress=False)
+    assert results == [5]
+
+
 def test_lang_embeddings_goal_reaches_policy(tmp_path):
     """Precomputed-embedding goals (the use_text_not_embedding=False path) run
     through MDTVPolicy.step without the CLIP text tower."""
