@@ -437,7 +437,7 @@ def load_reference_state_dict(ckpt_path, *, prefer_ema: bool = True) -> Dict:
 
 
 def convert_checkpoint(ckpt_path, out_dir, *, agent: str = "mdtv",
-                       prefer_ema: bool = True):
+                       prefer_ema: bool = True, scan_layout: bool = False):
     """Reference .ckpt -> our param tree, merged over a fresh init (so
     components absent from the checkpoint — e.g. the external Voltron
     backbone — keep their init), saved with utils.checkpoint.Checkpointer."""
@@ -461,6 +461,10 @@ def convert_checkpoint(ckpt_path, out_dir, *, agent: str = "mdtv",
     merged = dict(state.params)
     for k, v in ported.items():
         merged[k] = v
+    if scan_layout:
+        # stacked-tower layout for scan_tower_layers=True runs
+        from mdt_policy_tpu.models.layer_stack import convert_tower_layout
+        merged = convert_tower_layout(merged, to_scan=True)
     state = state.replace(params=merged,
                           ema_params=jax.tree.map(lambda x: x, merged))
     Checkpointer(out_dir).save(state, wait=True)  # durable before returning
@@ -477,8 +481,12 @@ def main():
     ap.add_argument("out", help="output checkpoint directory")
     ap.add_argument("--raw", action="store_true",
                     help="use raw weights instead of EMA")
+    ap.add_argument("--scan", action="store_true",
+                    help="emit the stacked-tower layout for "
+                         "scan_tower_layers=True runs")
     args = ap.parse_args()
-    convert_checkpoint(args.ckpt, args.out, prefer_ema=not args.raw)
+    convert_checkpoint(args.ckpt, args.out, prefer_ema=not args.raw,
+                       scan_layout=args.scan)
 
 
 if __name__ == "__main__":
