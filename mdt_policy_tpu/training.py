@@ -72,6 +72,16 @@ class TrainerConfig:
     # reference's pretrain_chk + load_state_dict(strict=False),
     # mdt/training.py:53-54, utils.py:32-42). Ignored when auto-resuming.
     pretrain_checkpoint: Optional[str] = None
+    # divergence guard: raise TrainingDivergedError when the logged loss
+    # goes non-finite (checked at log points only — no extra host syncs).
+    # The poisoned state is never checkpointed; auto-resume restores the
+    # last good save.
+    halt_on_nonfinite: bool = True
+
+
+class TrainingDivergedError(RuntimeError):
+    """Loss went NaN/inf; the run halted without checkpointing the
+    poisoned state."""
 
 
 @dataclasses.dataclass
@@ -495,6 +505,16 @@ def train(cfg: RunConfig):
             mlog.log(metrics, step + 1)
             logger.info("step %d | loss %.4f | %.1f chunks/s", step + 1,
                         metrics["train/total_loss"], metrics["perf/chunks_per_sec"])
+            if cfg.trainer.halt_on_nonfinite and not np.isfinite(
+                    metrics["train/total_loss"]):
+                # divergence guard (failure detection the reference lacks,
+                # SURVEY §5): piggybacks on the log-point metric fetch — no
+                # extra per-step host sync. The poisoned state is NOT
+                # checkpointed; resume restores the last good epoch save.
+                raise TrainingDivergedError(
+                    f"non-finite loss {metrics['train/total_loss']} at step "
+                    f"{step + 1}; last checkpoint precedes this step — "
+                    "lower the lr or inspect the data shard")
 
         if (step + 1) % cfg.trainer.steps_per_epoch == 0:
             epoch = (step + 1) // cfg.trainer.steps_per_epoch

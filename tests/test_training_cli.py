@@ -117,6 +117,36 @@ def test_sigterm_checkpoints_and_exits(tmp_path):
     assert (tmp_path / "preempt" / "checkpoints" / str(step)).exists()
 
 
+def test_divergence_guard_halts_without_poisoned_checkpoint(tmp_path):
+    """halt_on_nonfinite: an exploding run raises TrainingDivergedError at a
+    log point and never checkpoints NaN params (SURVEY §5 failure
+    detection — the reference has none)."""
+    from mdt_policy_tpu.agents.config import LRSchedulerConfig, OptimizerConfig
+    from mdt_policy_tpu.training import TrainingDivergedError
+
+    cfg = RunConfig(
+        agent="mdtv", log_dir=str(tmp_path), run_name="diverge",
+        data=DataConfig(root_data_dir=None, synthetic_static_hw=32,
+                        synthetic_gripper_hw=32),
+        trainer=TrainerConfig(batch_size=2, max_epochs=5, steps_per_epoch=20,
+                              limit_val_batches=1, seed=0, log_every=1,
+                              keep_checkpoints=1),
+        # an absurd LR reliably reaches inf/NaN within a few AdamW steps
+        agent_overrides=dict(
+            TINY_OVERRIDES,
+            optimizer=OptimizerConfig(learning_rate=1e18),
+            lr_scheduler=LRSchedulerConfig(init_lr=1e18, init_lr_scale=1.0),
+        ),
+    )
+    with pytest.raises(TrainingDivergedError):
+        train(cfg)
+    ckpts = tmp_path / "diverge" / "checkpoints"
+    if ckpts.exists():
+        import jax
+        from mdt_policy_tpu.utils.checkpoint import latest_checkpoint
+        assert latest_checkpoint(ckpts) is None  # nothing was saved
+
+
 def test_load_config_overrides(tmp_path):
     p = tmp_path / "c.yaml"
     p.write_text("agent: mdt\ntrainer:\n  batch_size: 7\n")
