@@ -125,10 +125,10 @@ class MDTVConfig:
     fused_tower_attention: str = "auto"
     # Run each frozen tower's 12 identical blocks as ONE lax.scan block over
     # depth-stacked params (models/layer_stack.py converts checkpoints
-    # between layouts): ~10x smaller HLO -> much faster cold compiles and
-    # headroom under the remote-compile module-size limit that rejects
-    # B=1024. Default off (the unrolled layout is the checkpoint/port
-    # layout; step-time impact measured via tools/ab_step.py).
+    # between layouts). Measured: -11% StableHLO module text, ~1.5x faster
+    # trace+lower (the program bulk is optimizer/EMA leaf boilerplate, not
+    # tower blocks). Default off (the unrolled layout is the checkpoint/
+    # port layout; step-time impact measured via tools/ab_step.py).
     scan_tower_layers: bool = False
     # MXU-stats norms in the frozen towers (ops/mxu_norm.py): measured a 3%
     # END-TO-END REGRESSION (869.9 vs 843.9 ms/step, tools/ab_step.py;

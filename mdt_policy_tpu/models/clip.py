@@ -108,7 +108,8 @@ class _CLIPScanShim(nn.Module):
 def _apply_blocks(x, *, layers, width, heads, causal, fused, mxu_norm,
                   scan_layers, name_prefix="resblock_"):
     """The 12-block stack: unrolled (per-layer params, checkpoint layout)
-    or one lax.scan block over stacked params (~10x smaller HLO)."""
+    or one lax.scan block over stacked params (smaller/faster-to-trace
+    program; measured numbers in models/layer_stack.py)."""
     if scan_layers:
         assert not mxu_norm, "scan_layers + mxu_norm not wired"
         scan = nn.scan(_CLIPScanShim,

@@ -182,8 +182,9 @@ class VoltronViT(nn.Module):
     full patch-token grid, e.g. (B, 196, 384) for 224px/16 ViT-S.
 
     scan_layers: run the depth-12 stack as ONE block under lax.scan over
-    stacked params (~10x smaller HLO, same math; models/layer_stack.py has
-    the param-layout converters)."""
+    stacked params (same math, smaller/faster-to-trace program;
+    models/layer_stack.py has the param-layout converters and the
+    measured numbers)."""
     patch_size: int = 16
     embed_dim: int = 384
     depth: int = 12
