@@ -129,8 +129,10 @@ def fused_qkv_attention(qkv: jax.Array, n_heads: int, causal: bool = False,
     qkv: (B, T, 3C) laid out [q | k | v] along the channel axis, each C wide
     with n_heads interleaved head slices of C // n_heads.
     block_b: images per grid cell; 0 = auto (VMEM-budget heuristic).
-    variant: "auto" | "pair" | "head_loop". Auto picks the head-pair grid
-    when eligible (dh=64, C%128==0, even heads — all three towers qualify);
+    variant: "auto" | "pair" | "head_loop". "auto" currently resolves to
+    the head-loop production kernel; "pair" (1.09-1.12x in tower-shape
+    microbenches, eligible at dh=64 / C%128==0 / even heads — all three
+    towers qualify) stays opt-in until the end-to-end step A/B lands.
     MDT_ATTN_VARIANT env overrides at trace time (measurement hook).
     Returns (B, T, C) — the head-concatenated attention output.
     """
