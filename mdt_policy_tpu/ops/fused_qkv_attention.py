@@ -129,10 +129,11 @@ def fused_qkv_attention(qkv: jax.Array, n_heads: int, causal: bool = False,
     qkv: (B, T, 3C) laid out [q | k | v] along the channel axis, each C wide
     with n_heads interleaved head slices of C // n_heads.
     block_b: images per grid cell; 0 = auto (VMEM-budget heuristic).
-    variant: "auto" | "pair" | "head_loop". "auto" currently resolves to
-    the head-loop production kernel; "pair" (1.09-1.12x in tower-shape
-    microbenches, eligible at dh=64 / C%128==0 / even heads — all three
-    towers qualify) stays opt-in until the end-to-end step A/B lands.
+    variant: "auto" | "pair" | "head_loop". "auto" resolves to "pair"
+    when eligible (dh=64 / C%128==0 / even heads — all three towers
+    qualify; 1.09-1.12x in tower-shape microbenches, 829.7 vs 837.4
+    ms/step end-to-end on the full B=512 dual-modality train step with
+    identical loss) and to the head-loop kernel otherwise.
     MDT_ATTN_VARIANT env overrides at trace time (measurement hook).
     Returns (B, T, C) — the head-concatenated attention output.
     """
@@ -165,9 +166,10 @@ def _impl(qkv, n_heads, causal, block_b, interpret, variant="auto"):
     variant = os.environ.get("MDT_ATTN_VARIANT", variant)
     if variant == "auto":
         # pair is 1.09-1.12x in tower-shape microbenches
-        # (tools/attn_kernel_experiment.py) but stays opt-in until the
-        # end-to-end step A/B confirms it (tunnel outage pending)
-        variant = "head_loop"
+        # (tools/attn_kernel_experiment.py) and confirmed end-to-end:
+        # 829.7 vs 837.4 ms/step on the full B=512 dual-modality step
+        # (tools/ab_step.py, identical loss) — production where eligible.
+        variant = "pair" if _pair_eligible(C, n_heads) else "head_loop"
     if variant == "pair":
         assert _pair_eligible(C, n_heads), (C, n_heads)
         bB = block_b or 16  # power of two; 20 measured 0.7x, 24+ overflows

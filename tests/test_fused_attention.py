@@ -74,7 +74,7 @@ def test_pair_variant_matches_reference(B, T, C, H, causal):
     out = fused_qkv_attention(qkv, H, causal, 2, True, "pair")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
-    # "auto" (head_loop until the end-to-end A/B lands) — same numbers
+    # "auto" (resolves to pair on these eligible shapes) — same numbers
     auto = fused_qkv_attention(qkv, H, causal, 2, True, "auto")
     np.testing.assert_allclose(np.asarray(auto), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
