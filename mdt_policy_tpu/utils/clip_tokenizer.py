@@ -6,9 +6,9 @@ vendored tokenizer (`mdt/utils/clip_tokenizer.py`, itself OpenAI's), written
 from the published BPE algorithm:
 
 * GPT-2 byte<->unicode table,
-* merges loaded from the standard `bpe_simple_vocab_16e6.txt.gz` (a data
-  file, located via `MDT_TPU_BPE_PATH` or common on-disk locations; NOT
-  vendored into this repo),
+* merges loaded from the standard `bpe_simple_vocab_16e6.txt.gz`, vendored
+  as package data next to this module (`MDT_TPU_BPE_PATH` overrides the
+  location),
 * CLIP word-level regex, lowercasing and whitespace cleanup.
 
 ftfy isn't in this image; `html.unescape` + NFC normalization cover the
