@@ -119,6 +119,13 @@ class MDTVConfig:
     # run both cameras through the frozen ViT as ONE batched call (numerically
     # identical: the same weights apply per-sample); halves kernel launches
     fuse_camera_batch: bool = True
+    # cross-SCOPE tower batching (one level above fuse_camera_batch): the
+    # train step runs the frozen towers ONCE over the concatenated
+    # {'vis','lang'} scopes — one Voltron call over 4BT camera frames, one
+    # CLIP-vision call over 2B goal frames — hoisted outside jax.grad
+    # (their outputs are stop_gradient constants of the loss). Same math,
+    # half the tower dispatches at twice the per-matmul batch.
+    fuse_scope_towers: bool = True
     # Pallas fused qkv-attention in the frozen towers
     # (ops/fused_qkv_attention.py): "auto" = on for TPU backends, off
     # elsewhere; measured 1.5x on the Voltron tower (docs/PALLAS.md)

@@ -145,6 +145,12 @@ class MDTAgentNet(nn.Module):
     def decode_actions(self, context, actions, sigma, *, train: bool = False):
         return self.inner.decode(context, actions, sigma, train=train)
 
+    def gen_img_forward(self, context, goal_imgs):
+        return self.gen_img(context, goal_imgs)
+
+    def gen_img_loss(self, goal_imgs, recon, mask):
+        return self.gen_img.compute_loss(goal_imgs, recon, mask)
+
     # ---- losses ---------------------------------------------------------------
 
     def __call__(self, batch: Batch, *, modality: str, train: bool = True):

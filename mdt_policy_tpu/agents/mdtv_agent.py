@@ -199,6 +199,64 @@ class MDTVAgentNet(nn.Module):
         perceiver; MDT: per-camera ResNets)."""
         return self.compute_voltron_embeddings(rgb_static, rgb_gripper)
 
+    def frozen_towers(self, batch: Dict[str, Batch]) -> Dict[str, Dict[str, jax.Array]]:
+        """Cross-scope fused frozen-tower forward (cfg.fuse_scope_towers).
+
+        Runs ONE Voltron call over every camera frame of every modality
+        scope (static+gripper x vis+lang = 4BT images) and ONE CLIP-vision
+        call over both scopes' goal frames (2B) — the same
+        batch-the-identical-weights trick as `fuse_camera_batch`, one level
+        up (VERDICT r2 perf lever b; ref runs the towers per scope,
+        mdt/models/mdtv_agent.py:360-403). All outputs are stop_gradient
+        constants, so `train_step` calls this OUTSIDE jax.grad.
+
+        Returns per scope: voltron_tokens (B, 1, 2N, D) ready for the
+        perceiver, image_latent_goal (B, E) f32, and lang_latent_goal for
+        scopes carrying lang_tokens."""
+        c = self.cfg
+        cdt = jnp.dtype(c.compute_dtype)
+        scopes = tuple(sorted(batch.keys()))
+
+        vit_in, shapes = [], []
+        for s in scopes:
+            rgb_static = batch[s]["rgb_static"][:, :-1]
+            rgb_gripper = batch[s]["rgb_gripper"][:, :-1]
+            B, T = rgb_static.shape[:2]
+            shapes.append((B, T))
+            vit_in.append(self._to_vit_size(
+                rgb_static.reshape((B * T,) + rgb_static.shape[2:])))
+            vit_in.append(self._to_vit_size(
+                rgb_gripper.reshape((B * T,) + rgb_gripper.shape[2:])))
+        tokens = self.img_encoder(jnp.concatenate(vit_in, axis=0).astype(cdt))
+        if c.freeze_img_encoder:
+            tokens = jax.lax.stop_gradient(tokens)
+        cam_tokens = jnp.split(tokens, 2 * len(scopes), axis=0)
+
+        goal_frames = jnp.concatenate(
+            [self._to_vit_size(batch[s]["rgb_static"][:, -1]) for s in scopes],
+            axis=0)
+        img_goals = jnp.split(
+            jax.lax.stop_gradient(
+                self.visual_goal(goal_frames.astype(cdt)).astype(jnp.float32)),
+            len(scopes), axis=0)
+
+        out: Dict[str, Dict[str, jax.Array]] = {}
+        for i, s in enumerate(scopes):
+            static_tokens, gripper_tokens = cam_tokens[2 * i], cam_tokens[2 * i + 1]
+            towers = {
+                # (B*T, 2N, D) -> (B, 1, 2N, D): T==obs_seq_len==1 in
+                # production; the perceiver consumes the 2-camera grid as
+                # one time step (compute_voltron_embeddings layout)
+                "voltron_tokens": jnp.concatenate(
+                    [static_tokens, gripper_tokens], axis=1)[:, None],
+                "image_latent_goal": img_goals[i],
+            }
+            if "lang_tokens" in batch[s]:
+                towers["lang_latent_goal"] = self.encode_language_goal(
+                    batch[s]["lang_tokens"])
+            out[s] = towers
+        return out
+
     def encode_visual_goal(self, goal_image):
         """Frozen CLIP ViT-B/16 image embed (ref vision_clip.py:33-47);
         input already CLIP-normalized."""
@@ -229,28 +287,35 @@ class MDTVAgentNet(nn.Module):
 
     # ---- losses (one modality scope) ------------------------------------------
 
-    def __call__(self, batch: Batch, *, modality: str, train: bool = True):
+    def __call__(self, batch: Batch, *, modality: str, train: bool = True,
+                 towers: Optional[Dict[str, jax.Array]] = None):
         """Per-scope losses (ref training_step body, mdtv_agent.py:246-288).
 
         batch keys: rgb_static/rgb_gripper (B, T+1, H, W, 3) — last frame is
         the goal frame; gen_static/gen_gripper (B, h, w, 3); actions (B, W, A);
         lang_tokens (B, 77) (used when modality == 'lang').
+        `towers`: this scope's precomputed frozen-tower outputs (one entry of
+        `frozen_towers`) — the cross-scope fused path; None recomputes the
+        towers inline (identical math).
         Returns dict(action_loss, img_gen_loss, cont_loss, total_loss).
         """
         c = self.cfg
-        rgb_static_goal = batch["rgb_static"][:, -1]
-        rgb_static = batch["rgb_static"][:, :-1]
-        rgb_gripper = batch["rgb_gripper"][:, :-1]
         actions = batch["actions"]
         B = actions.shape[0]
 
-        image_latent_goal = self.encode_visual_goal(rgb_static_goal)
-        if modality == "lang":
-            latent_goal = self.encode_language_goal(batch["lang_tokens"])
+        if towers is not None:
+            image_latent_goal = towers["image_latent_goal"]
+            latent_goal = towers["lang_latent_goal"] if modality == "lang" \
+                else image_latent_goal
+            perceptual_emb = {"state_images": self.perceiver(towers["voltron_tokens"])}
         else:
-            latent_goal = image_latent_goal
-
-        perceptual_emb = self.compute_voltron_embeddings(rgb_static, rgb_gripper)
+            image_latent_goal = self.encode_visual_goal(batch["rgb_static"][:, -1])
+            if modality == "lang":
+                latent_goal = self.encode_language_goal(batch["lang_tokens"])
+            else:
+                latent_goal = image_latent_goal
+            perceptual_emb = self.compute_voltron_embeddings(
+                batch["rgb_static"][:, :-1], batch["rgb_gripper"][:, :-1])
         if c.use_proprio and "state_obs" in batch:
             # processed 8-d proprio (data/proprio.py) -> proprio_emb token
             perceptual_emb = {**perceptual_emb,
@@ -375,9 +440,19 @@ def train_step(net, state: TrainState, batch: Dict[str, Batch],
 
     Gradients are taken w.r.t. the trainable subtree only; frozen towers are
     constants of the loss (no zero-grad materialization, ~5x less
-    optimizer/EMA HBM traffic)."""
+    optimizer/EMA HBM traffic). With cfg.fuse_scope_towers the frozen towers
+    run ONCE over the concatenated scopes, outside jax.grad."""
     scopes = tuple(sorted(batch.keys()))
     trainable, frozen = split_params(state.params, net.frozen_prefixes)
+
+    towers = None
+    # hoisting the towers outside jax.grad is only sound when they're all
+    # actually frozen (constants of the loss); that's the production config
+    if (getattr(net.cfg, "fuse_scope_towers", False)
+            and hasattr(net, "frozen_towers")
+            and set(FROZEN_PREFIXES) <= set(net.frozen_prefixes)):
+        towers = net.apply({"params": state.params}, batch,
+                           method="frozen_towers")
 
     def loss_fn(trainable_params):
         params = {**trainable_params, **frozen}
@@ -386,8 +461,9 @@ def train_step(net, state: TrainState, batch: Dict[str, Batch],
         for i, scope in enumerate(scopes):
             rngs = dict(zip(("dropout", "sigma", "noise", "mask", "goal_mask"),
                             jax.random.split(jax.random.fold_in(rng, i), 5)))
+            kw = {} if towers is None else {"towers": towers[scope]}
             out = net.apply({"params": params}, batch[scope], modality=scope,
-                            train=True, rngs=rngs)
+                            train=True, rngs=rngs, **kw)
             total = total + out["total_loss"]
             for k, v in out.items():
                 metrics[f"{scope}/{k}"] = v

@@ -280,7 +280,7 @@ class Preprocessor:
         self._eval = jax.jit(self._eval_impl)
 
     def _train_impl(self, key, batch):
-        k1, k2 = jax.random.split(key)
+        k1, k2, kd = jax.random.split(key, 3)
         out = dict(batch)
         out["rgb_static"] = preprocess_rgb_train(
             k1, batch["rgb_static"], size=self.static_size, shift_pad=self.static_pad)
@@ -289,12 +289,25 @@ class Preprocessor:
         out["gen_static"] = preprocess_rgb_eval(batch["gen_static"], size=self.gen_size)
         out["gen_gripper"] = preprocess_rgb_eval(batch["gen_gripper"], size=self.gen_size)
         out["actions"] = batch["actions"].astype(jnp.float32)
+        # depth pipeline (calvin_transforms.yaml): per-sample gamma noise on
+        # depth_static, +N(0, 0.01) on every depth key (frames arrive at
+        # their native sizes — the Resize stages are identities)
+        from .transforms import add_depth_noise, add_gaussian_noise
+        for i, dk in enumerate(sorted(k for k in batch if k.startswith("depth"))):
+            kk = jax.random.fold_in(kd, i)
+            d = batch[dk].astype(jnp.float32)
+            if "static" in dk:
+                d = add_depth_noise(jax.random.fold_in(kk, 0), d,
+                                    sample_shape=(d.shape[0],))
+            out[dk] = add_gaussian_noise(jax.random.fold_in(kk, 1), d, std=0.01)
         return out
 
     def _eval_impl(self, batch):
         out = dict(batch)
         out["rgb_static"] = preprocess_rgb_eval(batch["rgb_static"], size=self.static_size)
-        out["rgb_gripper"] = preprocess_rgb_eval(batch["rgb_gripper"], size=self.gripper_size)
+        if "rgb_gripper" in batch:
+            # goal-image calls carry only the static camera frame
+            out["rgb_gripper"] = preprocess_rgb_eval(batch["rgb_gripper"], size=self.gripper_size)
         if "gen_static" in batch:
             out["gen_static"] = preprocess_rgb_eval(batch["gen_static"], size=self.gen_size)
             out["gen_gripper"] = preprocess_rgb_eval(batch["gen_gripper"], size=self.gen_size)

@@ -94,12 +94,16 @@ def normalize_vector(x: jax.Array, mean: jax.Array, std: jax.Array) -> jax.Array
 
 
 def add_depth_noise(key: jax.Array, depth: jax.Array, shape: float = 1000.0,
-                    rate: float = 1000.0) -> jax.Array:
+                    rate: float = 1000.0,
+                    sample_shape: Tuple[int, ...] = ()) -> jax.Array:
     """Multiplicative gamma noise on depth images (DexNet 2.0 style,
-    ref transforms.py:50-70): ONE scalar noise draw per call, matching the
-    reference's per-batch sample semantics. Gamma(shape, rate) has mean
-    shape/rate (=1 at defaults)."""
-    noise = jax.random.gamma(key, shape) / rate
+    ref transforms.py:50-70). The reference draws ONE gamma per transform
+    call, i.e. per dataset sample (__getitem__ applies the pipeline
+    per-sample); a batched caller passes sample_shape=(B,) to reproduce
+    per-sample draws. Gamma(shape, rate) has mean shape/rate (=1 at
+    defaults)."""
+    noise = jax.random.gamma(key, shape, sample_shape) / rate
+    noise = noise.reshape(sample_shape + (1,) * (depth.ndim - len(sample_shape)))
     return depth * noise.astype(depth.dtype)
 
 

@@ -50,10 +50,9 @@ def build_policy(train_folder: str, *, sampler_type=None, num_sampling_steps=Non
     """Restore the run's agent (mdt or mdtv, per its config snapshot) + EMA
     params and wrap as a rollout policy with sampler overrides."""
     import jax
-    from mdt_policy_tpu.agents import (MDTConfig, MDTVConfig, MDTVPolicy,
+    from mdt_policy_tpu.agents import (MDTConfig, MDTVConfig,
                                        init_agent, init_mdt_agent)
     from mdt_policy_tpu.utils.checkpoint import Checkpointer
-    from mdt_policy_tpu.data.loader import Preprocessor
 
     train_folder = Path(train_folder)
     run_cfg = load_run_config(train_folder)
@@ -91,41 +90,8 @@ def build_policy(train_folder: str, *, sampler_type=None, num_sampling_steps=Non
     params = state.ema_params if use_ema else state.params
     logger.info("restored %s agent, %s weights from step %s", run_cfg.agent,
                 "EMA" if use_ema else "raw", int(state.step))
-    pp = Preprocessor(static_size=agent_cfg.img_size,
-                      gripper_size=min(84, agent_cfg.img_size),
-                      gen_size=agent_cfg.gen_img_res)
-
-    policy = MDTVPolicy(net, params)
-
-    class PreprocessingPolicy:
-        """Adapts raw env obs (uint8) to the jitted policy inputs."""
-        inner = policy  # the MDTVPolicy (exposed for tooling, e.g. annotator)
-        _goal_cache = (None, None)  # (raw goal frame, processed) — holding
-        # the raw object pins it so identity can't be recycled by the GC
-
-        def reset(self):
-            policy.reset()
-
-        def step(self, obs, goal):
-            batch = pp.eval_batch({
-                "rgb_static": obs["rgb_obs"]["rgb_static"],
-                "rgb_gripper": obs["rgb_obs"]["rgb_gripper"],
-            })
-            if "rgb_static_goal" in goal:
-                # raw uint8 goal frame -> same camera pipeline as the obs;
-                # the goal is constant for a whole rollout (a few hundred
-                # steps), so cache by frame identity
-                raw = goal["rgb_static_goal"]
-                if self._goal_cache[0] is not raw:
-                    g = pp.eval_batch({"rgb_static": np.asarray(raw)})
-                    self._goal_cache = (raw, g["rgb_static"][:, -1])
-                goal = {**goal, "rgb_static_goal": self._goal_cache[1]}
-            return np.asarray(policy.step(
-                {"rgb_static": batch["rgb_static"],
-                 "rgb_gripper": batch["rgb_gripper"]},
-                goal))
-
-    return PreprocessingPolicy(), agent_cfg, run_cfg
+    from mdt_policy_tpu.evaluation.policy_adapter import make_rollout_policy
+    return make_rollout_policy(net, params), agent_cfg, run_cfg
 
 
 def main(argv=None):

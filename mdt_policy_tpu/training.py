@@ -45,6 +45,11 @@ class DataConfig:
     use_extracted_frames: bool = True   # contiguous-image fast path if present
     num_workers: Optional[int] = None   # decode threads (None = min(8, cpus))
     proprio: bool = False               # 8-d state_obs via statistics.yaml
+    # depth observation keys loaded from the episode files (e.g.
+    # ['depth_static', 'depth_gripper']); train-time noise per the production
+    # transform pipeline (gamma on depth_static, gaussian on both —
+    # calvin_transforms.yaml, ref episode_utils.py:97-125)
+    depth_keys: list = dataclasses.field(default_factory=list)
     # synthetic-data shapes (smoke mode)
     synthetic_static_hw: int = 200
     synthetic_gripper_hw: int = 84
@@ -97,6 +102,33 @@ class RolloutConfig:
 
 
 @dataclasses.dataclass
+class TaskRolloutConfig:
+    """Validation-time single-task rollouts — the reference's `Rollout`
+    callback (mdt/rollout/rollout.py:58-118, conf/callbacks/rollout/
+    default.yaml): discover solvable (start_state, task) demos from
+    validation batches via the oracle, persist the task dictionary beside
+    the run (the reference stores it in the Lightning ckpt,
+    rollout.py:404-415), then roll the policy out per task and log
+    `tasks/{task}_sr`."""
+    enabled: bool = False
+    skip_epochs: int = 10          # ref default.yaml:7
+    rollout_freq: int = 5          # ref default.yaml:8
+    rollouts_per_task: int = 10    # ref num_rollouts_per_task
+    ep_len: int = 120              # ref default.yaml:13
+    id_selection_strategy: str = "select_longest"  # ref default.yaml:21
+    # dual goal modalities like the reference (lang sentence + demo end
+    # frame as goal image, rollout.py:324-330)
+    modalities: list = dataclasses.field(default_factory=lambda: ["vis", "lang"])
+    discovery_batches: int = 4     # val batches scanned for solvable demos
+    val_dataset_path: Optional[str] = None   # calvin_env scene source
+    # dotted-path factories (the hydra `_target_` equivalent,
+    # conf/callbacks/rollout/default.yaml env_cfg/tasks); tests point these
+    # at the FakeEnv harness
+    env_target: str = "mdt_policy_tpu.evaluation.env_adapter.make_calvin_env"
+    oracle_target: str = "mdt_policy_tpu.evaluation.annotations.make_task_oracle"
+
+
+@dataclasses.dataclass
 class DistributedConfig:
     """Multi-host data parallelism (SURVEY §2.10: jax.distributed + one mesh
     spanning hosts; grad psum + contrastive all-gather ride ICI/DCN inside
@@ -117,6 +149,8 @@ class RunConfig:
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
     trainer: TrainerConfig = dataclasses.field(default_factory=TrainerConfig)
     rollout: RolloutConfig = dataclasses.field(default_factory=RolloutConfig)
+    task_rollout: TaskRolloutConfig = dataclasses.field(
+        default_factory=TaskRolloutConfig)
     distributed: DistributedConfig = dataclasses.field(
         default_factory=DistributedConfig)
     agent_overrides: Dict[str, Any] = dataclasses.field(default_factory=dict)
@@ -145,6 +179,7 @@ def load_config(path: Optional[str], overrides) -> RunConfig:
     cfg = RunConfig()
     for section, cls in (("data", DataConfig), ("trainer", TrainerConfig),
                          ("rollout", RolloutConfig),
+                         ("task_rollout", TaskRolloutConfig),
                          ("distributed", DistributedConfig)):
         if section in raw:
             setattr(cfg, section, cls(**{**dataclasses.asdict(getattr(cfg, section)),
@@ -182,7 +217,8 @@ def _synthetic_batch(rng: np.random.Generator, B: int, data_cfg: DataConfig,
 
 
 def _real_loaders(cfg: RunConfig, split: str = "training", context_length: int = 77,
-                  vocab_size: Optional[int] = None, start_batch: int = 0):
+                  vocab_size: Optional[int] = None, start_batch: int = 0,
+                  include_scene_obs: bool = False):
     from mdt_policy_tpu.data import BatchLoader, CalvinDataset, DualStreamLoader
     from mdt_policy_tpu.utils.clip_tokenizer import tokenize as _tokenize
 
@@ -208,6 +244,8 @@ def _real_loaders(cfg: RunConfig, split: str = "training", context_length: int =
               use_extracted_rel_actions=cfg.data.use_extracted_rel_actions,
               use_extracted_frames=cfg.data.use_extracted_frames,
               proprio=cfg.data.proprio,
+              depth_keys=tuple(cfg.data.depth_keys),
+              include_scene_obs=include_scene_obs,
               seed=cfg.trainer.seed)
     import jax
 
@@ -445,8 +483,12 @@ def train(cfg: RunConfig):
         state = ckpt.restore(state)
         logger.info("auto-resumed from step %d", int(state.step))
 
+    # validation_step is variant-agnostic: it drives the uniform
+    # perceive/encode_*/gen_img_* protocol both agent nets implement (the
+    # reference defines validation_step on the BASE agent for the same
+    # reason, mdt/models/mdt_agent.py:281-357)
     jitted_step = jax.jit(partial(train_step, net), donate_argnums=(0,))
-    jitted_val = jax.jit(partial(validation_step, net)) if cfg.agent == "mdtv" else None
+    jitted_val = jax.jit(partial(validation_step, net))
 
     # 3-stage pipeline: loader threads decode ahead, the prefetcher thread
     # shards+preprocesses on device ahead, the main thread only steps —
@@ -525,6 +567,11 @@ def train(cfg: RunConfig):
                     if checkpointing:
                         ckpt.save(state,
                                   metric=rollout_metrics["eval_lh/avg_seq_len"])
+            if cfg.task_rollout.enabled:
+                task_metrics = _maybe_task_rollout(cfg, net, state, epoch,
+                                                   run_dir)
+                if task_metrics:
+                    mlog.log(task_metrics, step + 1)
             if jitted_val is not None:
                 # validate on the validation split when available (the
                 # reference's limit_val_batches=4 on EMA weights); synthetic
@@ -594,19 +641,92 @@ def _maybe_rollout(cfg: RunConfig, net, state, epoch: int):
     except Exception as e:
         logger.warning("rollout skipped (env/oracle unavailable): %s", e)
         return None
-    from mdt_policy_tpu.agents.mdtv_agent import MDTVPolicy
     from mdt_policy_tpu.evaluation.annotations import make_goal_fn
-    agent_cfg = net.cfg
-    policy = MDTVPolicy(net, state.ema_params)
+    from mdt_policy_tpu.evaluation.policy_adapter import make_rollout_policy
+    policy = make_rollout_policy(net, state.ema_params)
     # reference evaluates with the per-task VALIDATION sentence
     # (rollout_long_horizon.py:129-138), never synthesized task-name text
-    goal_fn = make_goal_fn(agent_cfg.clip_context_length)
+    goal_fn = make_goal_fn(net.cfg.clip_context_length)
 
     cb = RolloutLongHorizonCallback(
         env, oracle, goal_fn, num_sequences=cfg.rollout.num_sequences,
         ep_len=cfg.rollout.ep_len, rollout_freq=cfg.rollout.rollout_freq,
         skip_epochs=cfg.rollout.skip_epochs)
     return cb(policy, epoch)
+
+
+def _resolve_target(path: str):
+    """Dotted-path import (the hydra `_target_` equivalent)."""
+    import importlib
+    mod, _, fn = path.rpartition(".")
+    return getattr(importlib.import_module(mod), fn)
+
+
+def _maybe_task_rollout(cfg: RunConfig, net, state, epoch: int, run_dir: Path):
+    """Validation-time single-task rollouts (the reference `Rollout` callback,
+    mdt/rollout/rollout.py:58-118): first eligible epoch discovers solvable
+    demos from validation batches (env reset to first/last window state +
+    oracle, ref :374-421), persists the task dictionary beside the
+    checkpoints (ref :404-415 stores it in the ckpt), later epochs reuse it;
+    every eligible epoch logs `tasks/{task}_sr` per goal modality."""
+    tr = cfg.task_rollout
+    if not (epoch > tr.skip_epochs
+            and (epoch - tr.skip_epochs) % tr.rollout_freq == 0):
+        return None
+    try:
+        env = _resolve_target(tr.env_target)(tr.val_dataset_path)
+        oracle = _resolve_target(tr.oracle_target)()
+    except Exception as e:
+        logger.warning("task rollout skipped (env/oracle unavailable): %s", e)
+        return None
+
+    from mdt_policy_tpu.evaluation.annotations import make_goal_fn
+    from mdt_policy_tpu.evaluation.policy_adapter import make_rollout_policy
+    from mdt_policy_tpu.evaluation.single_task_rollout import (
+        SingleTaskRollout, discover_tasks, load_task_dict,
+        save_task_dict, state_pairs_from_batch)
+
+    task_dict_path = run_dir / "task_dict.npy"
+    if task_dict_path.exists():
+        task_to_states = load_task_dict(task_dict_path)
+    else:
+        if cfg.data.root_data_dir is None:
+            logger.warning("task rollout skipped: discovery needs a real "
+                           "validation split (data.root_data_dir unset)")
+            return None
+        # discovery pulls raw host batches (robot_obs + scene_obs) from a
+        # dedicated validation loader so the training/validation streams'
+        # determinism is untouched
+        agent_cfg = net.cfg
+        disc = _real_loaders(cfg, "validation", agent_cfg.clip_context_length,
+                             agent_cfg.clip_vocab_size, include_scene_obs=True)
+        try:
+            it = iter(disc)
+            pairs = []
+            for _ in range(tr.discovery_batches):
+                pairs += state_pairs_from_batch(next(it)["vis"])
+        finally:
+            disc.close()
+        task_to_ids = discover_tasks(env, oracle, pairs)
+        task_to_states = {t: [pairs[i] for i in ids]
+                          for t, ids in task_to_ids.items()}
+        save_task_dict(task_dict_path, task_to_states)
+        logger.info("task discovery: %s",
+                    {t: len(v) for t, v in task_to_states.items()})
+    if not task_to_states:
+        logger.warning("task rollout: no solvable tasks discovered")
+        return None
+
+    policy = make_rollout_policy(net, state.ema_params)
+    goal_fn = make_goal_fn(net.cfg.clip_context_length)
+    cb = SingleTaskRollout(
+        env, oracle, goal_fn, ep_len=tr.ep_len,
+        rollouts_per_task=tr.rollouts_per_task,
+        id_selection_strategy=tr.id_selection_strategy,
+        min_window_size=cfg.data.min_window_size,
+        max_window_size=cfg.data.max_window_size,
+        modalities=tuple(tr.modalities))
+    return cb(policy, task_to_states)
 
 
 def main():

@@ -157,3 +157,30 @@ def test_fused_camera_batch_matches_separate(world):
         for flag, n in nets.items()
     }
     np.testing.assert_allclose(outs[True], outs[False], rtol=1e-6, atol=1e-6)
+
+
+def test_fused_scope_towers_match_unfused_step(world):
+    """fuse_scope_towers hoists ONE cross-scope tower forward outside
+    jax.grad (VERDICT r2 perf lever b); the towers are frozen constants of
+    the loss, so the whole train step — losses, grads, updated params — must
+    match the per-scope inline path."""
+    import dataclasses
+    from mdt_policy_tpu.agents.mdtv_agent import MDTVAgentNet
+
+    state0, batch = world["state0"], world["batch"]
+    results = {}
+    for flag in (False, True):
+        n = MDTVAgentNet(dataclasses.replace(TINY, fuse_scope_towers=flag))
+        s1, m1 = jax.jit(partial(train_step, n))(state0, batch,
+                                                 jax.random.PRNGKey(1))
+        results[flag] = (jax.device_get(m1), s1)
+    m_f, s_f = results[True]
+    m_u, s_u = results[False]
+    for k in ("train/total_loss", "lang/action_loss", "vis/action_loss",
+              "lang/img_gen_loss", "lang/cont_loss"):
+        np.testing.assert_allclose(float(m_f[k]), float(m_u[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    for a, b in zip(jax.tree.leaves(s_f.params["inner"]),
+                    jax.tree.leaves(s_u.params["inner"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

@@ -48,6 +48,27 @@ def test_synthetic_train_run(tmp_path):
     assert int(state2.step) == 4
 
 
+def test_mdt_variant_gets_validation_metrics(tmp_path):
+    """val_act/* metrics are produced for the MDT (ResNet) variant too —
+    validation_step lives on the base agent in the reference
+    (mdt/models/mdt_agent.py:281-357), so both variants must report it."""
+    cfg = RunConfig(
+        agent="mdt",
+        log_dir=str(tmp_path),
+        run_name="mdt-val",
+        data=DataConfig(root_data_dir=None, synthetic_static_hw=32,
+                        synthetic_gripper_hw=32),
+        trainer=TrainerConfig(batch_size=2, max_epochs=1, steps_per_epoch=1,
+                              limit_val_batches=1, seed=0, log_every=1,
+                              keep_checkpoints=0),
+        agent_overrides=TINY_OVERRIDES,
+    )
+    state = train(cfg)
+    assert int(state.step) == 1
+    csv = (tmp_path / "mdt-val" / "metrics.csv").read_text()
+    assert "val_act/action_loss" in csv
+
+
 def _tiny_cfg(tmp_path, run_name, max_epochs, keep_checkpoints=1):
     return RunConfig(
         agent="mdtv",
