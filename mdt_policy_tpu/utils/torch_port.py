@@ -437,17 +437,31 @@ def load_reference_state_dict(ckpt_path, *, prefer_ema: bool = True) -> Dict:
 
 
 def convert_checkpoint(ckpt_path, out_dir, *, agent: str = "mdtv",
-                       prefer_ema: bool = True, scan_layout: bool = False):
-    """Reference .ckpt -> our param tree, merged over a fresh init (so
-    components absent from the checkpoint — e.g. the external Voltron
-    backbone — keep their init), saved with utils.checkpoint.Checkpointer."""
+                       prefer_ema: bool = True, scan_layout: bool = False,
+                       agent_overrides: Mapping = None):
+    """Reference .ckpt -> a ready-to-evaluate RUN DIR.
+
+    Emits `<out_dir>/config.yaml` (the run-config snapshot the evaluate CLI
+    re-hydrates — the `.hydra` contract) and `<out_dir>/checkpoints/` (orbax),
+    so `evaluate.py --train-folder <out_dir>` restores the converted weights
+    directly. Ported params are merged over a fresh init (components absent
+    from the checkpoint keep their init); `agent_overrides` sizes the target
+    MDTVConfig (production sizes by default) and the port depths follow it."""
+    import dataclasses
+    from pathlib import Path
+
     import jax
     import numpy as np
+    import yaml
     from mdt_policy_tpu.agents import MDTVConfig, init_agent
     from mdt_policy_tpu.utils.checkpoint import Checkpointer
 
+    overrides = dict(agent_overrides or {})
+    if scan_layout:
+        # the restore-side model must init the stacked-tower layout too
+        overrides["scan_tower_layers"] = True
     sd = load_reference_state_dict(ckpt_path, prefer_ema=prefer_ema)
-    cfg = MDTVConfig()
+    cfg = MDTVConfig(**overrides)
     example = {
         "rgb_static": np.zeros((1, 2, cfg.img_size, cfg.img_size, 3), np.float32),
         "rgb_gripper": np.zeros((1, 2, cfg.img_size, cfg.img_size, 3), np.float32),
@@ -456,18 +470,53 @@ def convert_checkpoint(ckpt_path, out_dir, *, agent: str = "mdtv",
         "actions": np.zeros((1, cfg.act_window_size, cfg.action_dim), np.float32),
         "lang_tokens": np.zeros((1, cfg.clip_context_length), np.int32),
     }
-    net, state = init_agent(cfg, jax.random.PRNGKey(0), example)
-    ported = port_mdtv_agent(sd)
-    merged = dict(state.params)
-    for k, v in ported.items():
-        merged[k] = v
+    # init the unrolled (checkpoint/port) layout; convert after the merge
+    init_cfg = dataclasses.replace(cfg, scan_tower_layers=False) \
+        if scan_layout else cfg
+    net, state = init_agent(init_cfg, jax.random.PRNGKey(0), example)
+    ported = port_mdtv_agent(sd, n_enc_layers=cfg.n_enc_layers,
+                             n_dec_layers=cfg.n_dec_layers,
+                             perceiver_depth=cfg.perceiver_depth,
+                             gen_depth=cfg.gen_decoder_depth,
+                             clip_vision_layers=cfg.clip_vision_layers,
+                             clip_text_layers=cfg.clip_text_layers)
+    dropped = []
+
+    def deep_merge(base, over, path=""):
+        """Ported leaves override init leaves. Init-only subtrees survive and
+        ported-only subtrees are DROPPED (logged): the restored tree must be
+        structurally identical to a fresh init from the same config — e.g.
+        the reference always stores proprio_emb weights but our init only
+        materializes that head when use_proprio."""
+        if not isinstance(base, dict) or not isinstance(over, dict):
+            return over
+        out = dict(base)
+        for k, v in over.items():
+            if k in base:
+                out[k] = deep_merge(base[k], v, f"{path}/{k}")
+            else:
+                dropped.append(f"{path}/{k}")
+        return out
+
+    merged = deep_merge(dict(state.params), ported)
+    if dropped:
+        logger.info("checkpoint subtrees absent from the target config, "
+                    "dropped: %s", dropped)
     if scan_layout:
         # stacked-tower layout for scan_tower_layers=True runs
         from mdt_policy_tpu.models.layer_stack import convert_tower_layout
         merged = convert_tower_layout(merged, to_scan=True)
     state = state.replace(params=merged,
                           ema_params=jax.tree.map(lambda x: x, merged))
-    Checkpointer(out_dir).save(state, wait=True)  # durable before returning
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    # run-config snapshot so evaluate.build_policy re-hydrates the same
+    # agent sizes (lazy import: training pulls optax/orbax)
+    from mdt_policy_tpu.training import RunConfig
+    run_cfg = RunConfig(agent=agent, run_name=out_dir.name,
+                        log_dir=str(out_dir.parent), agent_overrides=overrides)
+    (out_dir / "config.yaml").write_text(yaml.safe_dump(dataclasses.asdict(run_cfg)))
+    Checkpointer(out_dir / "checkpoints").save(state, wait=True)  # durable
     return out_dir
 
 

@@ -1,0 +1,376 @@
+"""End-to-end checkpoint-converter pipeline (VERDICT r2 item 2).
+
+Builds a reference-format Lightning `.ckpt` fixture — `state_dict` plus the
+EMA callback's `callbacks/EMA/ema_weights` LIST (ref mdt/callbacks/ema.py:
+96-99 builds it from `state_dict().values()`, so buffers are interleaved with
+parameters in state_dict order) — from the same torch reference modules the
+per-module parity tests load, runs the `convert_checkpoint` CLI into a run
+dir, restores it through `evaluate.build_policy`, and asserts:
+
+1. every restored tensor equals the direct port of the REAL (EMA) weights —
+   the zip of the EMA list back onto state_dict keys
+   (utils/torch_port.py:load_reference_state_dict) is order-exact, including
+   across buffer entries where a named_parameters zip would mis-assign;
+2. the raw (perturbed) weights were NOT what landed — EMA was preferred;
+3. DDIM-chunk parity: the restored denoiser reproduces the torch module's
+   10-step chunk under the reference GCDenoiser preconditioner formulas
+   (the BASELINE checkpoint-parity deliverable, front door to back).
+"""
+
+import importlib.util
+import sys
+import types
+from collections import OrderedDict
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn  # noqa: E402
+
+from test_voltron_port import TorchRMSNorm, TorchVoltronBlock, _randomize  # noqa: E402
+
+REF = Path("/root/reference")
+
+# one consistent tiny MDTVConfig for the whole fixture (clip_vision_width=64
+# so the vendored torch CLIP derives >=1 vision head: width//64)
+FIX_OVERRIDES = dict(
+    latent_dim=32, embed_dim=32, obs_dim=32, goal_dim=16, clip_embed_dim=16,
+    n_enc_layers=1, n_dec_layers=1, n_heads=2,
+    perceiver_dim=32, perceiver_depth=1, perceiver_heads=2, perceiver_dim_head=8,
+    num_latents=3, img_size=32, vit_patch=16, vit_depth=1, vit_heads=2,
+    clip_vision_width=64, clip_vision_layers=1, clip_vision_patch=16,
+    clip_text_width=16, clip_text_layers=1, clip_text_heads=2,
+    clip_context_length=8, clip_vocab_size=100,
+    gen_img_res=32, gen_patch_size=16, gen_decoder_depth=1, gen_decoder_dim=16,
+    gen_decoder_heads=2, num_sampling_steps=2,
+    attn_pdrop=0.0, resid_pdrop=0.0, mlp_pdrop=0.0,
+)
+
+
+def _load_ref_mdtv_transformer():
+    """Reference MDTVTransformer with stubbed non-math deps
+    (test_torch_port.py loader)."""
+    sys.path.insert(0, str(REF))
+    for name in list(sys.modules):
+        if name == "mdt" or name.startswith("mdt."):
+            del sys.modules[name]
+    om = types.ModuleType("omegaconf")
+    om.DictConfig = dict
+    sys.modules.setdefault("omegaconf", om)
+    mpl = types.ModuleType("matplotlib")
+    plt = types.ModuleType("matplotlib.pyplot")
+    plt.cla = None
+    mpl.pyplot = plt
+    sys.modules.setdefault("matplotlib", mpl)
+    sys.modules.setdefault("matplotlib.pyplot", plt)
+    from mdt.models.networks.mdtv_transformer import MDTVTransformer
+    from mdt.models.networks.transformers.transformer_blocks import (
+        ClipStyleProjection)
+    return MDTVTransformer, ClipStyleProjection
+
+
+def _load_ref_perceiver():
+    """Reference PerceiverResampler (test_perceiver_port.py loader)."""
+    sys.path.insert(0, str(REF))
+    if "einops_exts" not in sys.modules:
+        from einops import rearrange
+        ee = types.ModuleType("einops_exts")
+        ee.rearrange_many = lambda xs, *a, **k: [rearrange(x, *a, **k) for x in xs]
+        sys.modules["einops_exts"] = ee
+    pkg = "ref_perceiver_pkg"
+    if f"{pkg}.perceiver_resampler" in sys.modules:
+        return sys.modules[f"{pkg}.perceiver_resampler"].PerceiverResampler
+    pkg_mod = types.ModuleType(pkg)
+    pkg_mod.__path__ = [str(REF / "mdt/models/networks/transformers")]
+    sys.modules[pkg] = pkg_mod
+    spec_u = importlib.util.spec_from_file_location(
+        f"{pkg}.utils", REF / "mdt/models/networks/transformers/utils.py")
+    utils_mod = importlib.util.module_from_spec(spec_u)
+    sys.modules[f"{pkg}.utils"] = utils_mod
+    spec_u.loader.exec_module(utils_mod)
+    spec = importlib.util.spec_from_file_location(
+        f"{pkg}.perceiver_resampler",
+        REF / "mdt/models/networks/transformers/perceiver_resampler.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[f"{pkg}.perceiver_resampler"] = mod
+    spec.loader.exec_module(mod)
+    return mod.PerceiverResampler
+
+
+def _load_ref_clip():
+    """Vendored OpenAI CLIP (test_clip_port.py loader)."""
+    sys.path.insert(0, str(REF))
+    tvt = types.ModuleType("torchvision.transforms")
+    for name in ("CenterCrop", "Compose", "Normalize", "Resize", "ToTensor"):
+        setattr(tvt, name, object)
+    tvt.InterpolationMode = types.SimpleNamespace(BICUBIC=3)
+    tv = types.ModuleType("torchvision")
+    tv.transforms = tvt
+    sys.modules.setdefault("torchvision", tv)
+    sys.modules.setdefault("torchvision.transforms", tvt)
+    tok_stub = types.ModuleType("mdt.utils.clip_tokenizer")
+    tok_stub.SimpleTokenizer = object
+    for name in ("mdt", "mdt.utils"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["mdt.utils.clip_tokenizer"] = tok_stub
+    spec = importlib.util.spec_from_file_location(
+        "ref_clip_mod_e2e", REF / "mdt/models/networks/clip.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.CLIP
+
+
+class TorchMaskedDecoder(nn.Module):
+    """Reference masked_transformer_decoder layout at fixture sizes
+    (same reconstruction as test_masked_decoder_port.py, parametrized).
+    `decoder_pe` is a BUFFER — it lands between parameters in state_dict
+    order, which is exactly the case where the EMA zip must stay aligned."""
+
+    def __init__(self, res, patch, depth, dim, heads, ctx_dim):
+        super().__init__()
+        from mdt_policy_tpu.models.voltron_vit import get_2d_sincos_pos_embed
+        self.num_patches = (res // patch) ** 2
+        self.patch2embed = nn.ModuleDict({"proj": nn.Conv2d(3, dim, patch, patch)})
+        self.encoder2decoder = nn.Linear(ctx_dim, dim)
+        self.mask_token = nn.Parameter(torch.zeros(1, 1, dim))
+        self.ctx_dec_pe = nn.Parameter(torch.randn(1, 2, 1, dim))
+        pe = get_2d_sincos_pos_embed(dim, res // patch)
+        self.register_buffer("decoder_pe",
+                             torch.tensor(pe, dtype=torch.float32)[None])
+        self.decoder_blocks = nn.ModuleList(
+            [TorchVoltronBlock(dim, heads) for _ in range(depth)])
+        self.decoder_norm = TorchRMSNorm(dim)
+        self.decoder_patch_prediction = nn.Linear(dim, patch * patch * 3)
+
+
+class TorchVoltronViT(nn.Module):
+    """v-cond backbone layout (test_voltron_port.py TorchViT, parametrized)."""
+
+    def __init__(self, dim, heads, depth, patch):
+        super().__init__()
+        self.patch2embed = nn.ModuleDict({"proj": nn.Conv2d(3, dim, patch, patch)})
+        self.blocks = nn.ModuleList(
+            [TorchVoltronBlock(dim, heads) for _ in range(depth)])
+        self.encoder_norm = nn.LayerNorm(dim, eps=1e-6)
+
+
+@pytest.fixture(scope="module")
+def fixture_ckpt(tmp_path_factory):
+    """Assemble the full-agent state_dict from torch reference modules and
+    save a Lightning-format .ckpt whose EMA list holds the REAL weights and
+    whose state_dict holds perturbed (raw) weights."""
+    if not REF.exists():
+        pytest.skip("reference not mounted")
+    torch.manual_seed(0)
+    F = FIX_OVERRIDES
+
+    MDTVTransformer, ClipStyleProjection = _load_ref_mdtv_transformer()
+    inner = MDTVTransformer(
+        device="cpu", goal_conditioned=True, n_obs_token=F["num_latents"],
+        obs_dim=F["obs_dim"], goal_dim=F["goal_dim"], action_dim=7,
+        proprio_dim=8, embed_dim=F["embed_dim"], n_enc_layers=1, n_dec_layers=1,
+        n_heads=F["n_heads"], goal_seq_len=1, obs_seq_len=1, action_seq_len=10,
+        embed_pdrob=0, attn_pdrop=0.0, resid_pdrop=0.0, mlp_pdrop=0.0,
+        goal_drop=0, bias=False, use_mlp_goal=True, use_ada_conditioning=True,
+        use_noise_encoder=False, use_modality_encoder=True).eval()
+
+    PerceiverResampler = _load_ref_perceiver()
+    perceiver = PerceiverResampler(
+        dim=F["perceiver_dim"], depth=1, dim_head=F["perceiver_dim_head"],
+        heads=F["perceiver_heads"], num_latents=F["num_latents"],
+        num_time_embeds=1).eval()
+
+    CLIP = _load_ref_clip()
+    def make_clip(seed):
+        torch.manual_seed(seed)
+        return CLIP(embed_dim=F["clip_embed_dim"], image_resolution=F["img_size"],
+                    vision_layers=1, vision_width=F["clip_vision_width"],
+                    vision_patch_size=F["clip_vision_patch"],
+                    context_length=F["clip_context_length"],
+                    vocab_size=F["clip_vocab_size"],
+                    transformer_width=F["clip_text_width"],
+                    transformer_heads=F["clip_text_heads"],
+                    transformer_layers=1).float().eval()
+    visual_goal, language_goal = make_clip(1), make_clip(2)
+
+    gen_img = _randomize(TorchMaskedDecoder(
+        F["gen_img_res"], F["gen_patch_size"], F["gen_decoder_depth"],
+        F["gen_decoder_dim"], F["gen_decoder_heads"], F["latent_dim"]), seed=3)
+    vit = _randomize(TorchVoltronViT(
+        F["perceiver_dim"], F["vit_heads"], F["vit_depth"], F["vit_patch"]), seed=4)
+    torch.manual_seed(5)
+    clip_proj = ClipStyleProjection(clip_style="map", token_dim=F["latent_dim"])
+    for p in clip_proj.parameters():
+        if p.dim() > 0:
+            nn.init.normal_(p, std=0.2)
+
+    sd_real = OrderedDict()
+    for prefix, mod in (("model.inner_model.", inner),
+                        ("perceiver.", perceiver),
+                        ("visual_goal.clip_model.", visual_goal),
+                        ("language_goal.clip_rn50.", language_goal),
+                        ("gen_img.", gen_img),
+                        ("img_encoder.vcond.", vit),
+                        ("clip_proj.", clip_proj)):
+        for k, v in mod.state_dict().items():
+            sd_real[prefix + k] = v.detach().clone()
+    sd_real["logit_scale"] = torch.tensor(2.6593)
+
+    # the EMA list: REAL weights, state_dict order (ema.py:96-99); the raw
+    # state_dict: perturbed — loading raw instead of EMA must be detectable
+    g = torch.Generator().manual_seed(99)
+    ema_weights = [v.detach().clone() for v in sd_real.values()]
+    sd_raw = OrderedDict(
+        (k, v + 0.3 * torch.randn(v.shape, generator=g) if v.is_floating_point()
+         else v.clone())
+        for k, v in sd_real.items())
+
+    ckpt = {"state_dict": sd_raw, "epoch": 1, "global_step": 10,
+            "callbacks": {"EMA": {"cur_step": 10, "ema_weights": ema_weights}}}
+    path = tmp_path_factory.mktemp("ckpt") / "mdtv_seed42.ckpt"
+    torch.save(ckpt, path)
+    return dict(path=path, sd_real=sd_real, sd_raw=sd_raw, inner=inner)
+
+
+def _tree_allclose(expect, got, rtol=1e-6, atol=1e-6, path=""):
+    """Every ported (expect) leaf must match; `got` may carry extra subtrees
+    the checkpoint never stored (e.g. the untrained proprio_emb head)."""
+    if isinstance(expect, dict):
+        missing = set(expect) - set(got)
+        assert not missing, f"{path}: missing {missing}"
+        for k in expect:
+            _tree_allclose(expect[k], got[k], rtol, atol, f"{path}/{k}")
+    else:
+        import jax.numpy as jnp
+        e = np.asarray(expect, np.float32)
+        if jnp.asarray(got).dtype == jnp.bfloat16:
+            # frozen towers are stored at the TPU compute dtype; the port is
+            # f32, so the restore rounds once to bf16 — compare at that
+            # precision, still bit-exact
+            e = np.asarray(jnp.asarray(e, jnp.bfloat16), np.float32)
+        np.testing.assert_allclose(np.asarray(got, np.float32), e,
+                                   rtol=rtol, atol=atol, err_msg=path)
+
+
+def test_converter_pipeline_end_to_end(fixture_ckpt, tmp_path):
+    """ckpt -> convert_checkpoint -> run dir -> evaluate.build_policy ->
+    restored tree == direct port of the EMA weights (and != raw weights)."""
+    from mdt_policy_tpu.utils.torch_port import (convert_checkpoint,
+                                                 port_mdtv_agent)
+    from mdt_policy_tpu.evaluate import build_policy
+
+    run_dir = tmp_path / "converted"
+    convert_checkpoint(str(fixture_ckpt["path"]), run_dir,
+                       agent_overrides=FIX_OVERRIDES)
+    assert (run_dir / "config.yaml").exists()
+    assert (run_dir / "checkpoints").is_dir()
+
+    policy, agent_cfg, run_cfg = build_policy(str(run_dir))
+    assert run_cfg.agent == "mdtv"
+    assert agent_cfg.latent_dim == 32
+    restored = policy.inner.params
+
+    def port(sd):
+        return port_mdtv_agent({k: v.numpy() for k, v in sd.items()},
+                               n_enc_layers=1, n_dec_layers=1,
+                               perceiver_depth=1, gen_depth=1,
+                               clip_vision_layers=1, clip_text_layers=1)
+
+    expect = port(fixture_ckpt["sd_real"])
+    # the reference always stores the proprio head; our init (use_proprio
+    # False) never materializes it, so the converter drops it
+    expect["inner"].pop("proprio_emb", None)
+    # every ported component must land bit-exactly through orbax + restore
+    for key, sub in expect.items():
+        _tree_allclose(sub, restored[key], rtol=0, atol=0, path=key)
+
+    # and it must be the EMA weights, not the perturbed raw state_dict
+    raw = port(fixture_ckpt["sd_raw"])
+    raw["inner"].pop("proprio_emb", None)
+    flat_r = np.concatenate([np.ravel(x) for x in _leaves(restored["inner"])])
+    flat_raw = np.concatenate([np.ravel(x) for x in _leaves(raw["inner"])])
+    assert not np.allclose(flat_r, flat_raw), \
+        "raw weights restored instead of EMA"
+
+
+def _leaves(tree):
+    if isinstance(tree, dict):
+        out = []
+        for k in sorted(tree):
+            out += _leaves(tree[k])
+        return out
+    return [np.asarray(tree, np.float32)]
+
+
+def test_converted_checkpoint_ddim_chunk_parity(fixture_ckpt, tmp_path):
+    """The restored denoiser reproduces the torch module's DDIM chunk under
+    the reference GCDenoiser scalings — checkpoint parity front door to back
+    (BASELINE deliverable; same loop as test_torch_port.py full-chunk test)."""
+    import jax.numpy as jnp
+    from mdt_policy_tpu.diffusion.precond import precond_denoise
+    from mdt_policy_tpu.diffusion.samplers import sample_ddim
+    from mdt_policy_tpu.diffusion.schedules import get_sigmas_exponential
+    from mdt_policy_tpu.models import MDTVTransformer
+    from mdt_policy_tpu.utils.torch_port import convert_checkpoint
+    from mdt_policy_tpu.evaluate import build_policy
+
+    run_dir = tmp_path / "converted"
+    convert_checkpoint(str(fixture_ckpt["path"]), run_dir,
+                       agent_overrides=FIX_OVERRIDES)
+    policy, agent_cfg, _ = build_policy(str(run_dir))
+    params = policy.inner.params["inner"]
+    ref = fixture_ckpt["inner"]
+
+    F = FIX_OVERRIDES
+    ours = MDTVTransformer(
+        obs_dim=F["obs_dim"], goal_dim=F["goal_dim"], action_dim=7,
+        proprio_dim=8, embed_dim=F["embed_dim"], n_enc_layers=1,
+        n_dec_layers=1, n_heads=F["n_heads"], goal_seq_len=1, obs_seq_len=1,
+        n_obs_token=F["num_latents"], action_seq_len=10, embed_pdrob=0.0,
+        attn_pdrop=0.0, resid_pdrop=0.0, mlp_pdrop=0.0, goal_drop=0.0,
+        bias=False, use_ada_conditioning=True, use_noise_encoder=False,
+        use_modality_encoder=True, use_mlp_goal=True)
+
+    rng = np.random.default_rng(7)
+    B, sigma_data = 2, 0.5
+    state_images = rng.normal(size=(B, 3, F["obs_dim"])).astype(np.float32)
+    goals = rng.normal(size=(B, 1, F["goal_dim"])).astype(np.float32)
+    x0 = (rng.normal(size=(B, 10, 7)) * 80.0).astype(np.float32)
+    sigmas = np.asarray(get_sigmas_exponential(10, 0.001, 80.0))
+
+    def ref_denoise(x, sigma):
+        ts = torch.full((B,), float(sigma))
+        c_skip = sigma_data**2 / (ts**2 + sigma_data**2)
+        c_out = ts * sigma_data / (ts**2 + sigma_data**2) ** 0.5
+        c_in = 1 / (ts**2 + sigma_data**2) ** 0.5
+        with torch.no_grad():
+            out = ref({"state_images": torch.tensor(state_images),
+                       "modality": "lang"},
+                      torch.tensor(x) * c_in[:, None, None],
+                      torch.tensor(goals), ts)
+        return (out * c_out[:, None, None]
+                + torch.tensor(x) * c_skip[:, None, None]).numpy()
+
+    x_ref = x0.copy()
+    for i in range(len(sigmas) - 1):
+        s, s_next = sigmas[i], sigmas[i + 1]
+        denoised = ref_denoise(x_ref, s)
+        t = -np.log(s)
+        t_next = -np.log(s_next) if s_next > 0 else np.inf
+        x_ref = (s_next / s) * x_ref - np.expm1(-(t_next - t)) * denoised
+
+    ctx = ours.apply({"params": params},
+                     {"state_images": jnp.asarray(state_images)},
+                     jnp.asarray(goals), jnp.full((B,), float(sigmas[0])),
+                     modality="lang", train=False, method="encode")
+
+    def denoise_fn(x, sigma):
+        sb = jnp.broadcast_to(jnp.asarray(sigma, x.dtype), (B,))
+        inner = lambda xin, s: ours.apply({"params": params}, ctx, xin, s,
+                                          train=False, method="decode")
+        return precond_denoise(inner, x, sb, sigma_data)
+
+    x_ours = np.asarray(sample_ddim(denoise_fn, jnp.asarray(x0), sigmas))
+    np.testing.assert_allclose(x_ours, x_ref, rtol=1e-3, atol=1e-3)
