@@ -123,9 +123,14 @@ class MDTVConfig:
     # train step runs the frozen towers ONCE over the concatenated
     # {'vis','lang'} scopes — one Voltron call over 4BT camera frames, one
     # CLIP-vision call over 2B goal frames — hoisted outside jax.grad
-    # (their outputs are stop_gradient constants of the loss). Same math,
-    # half the tower dispatches at twice the per-matmul batch.
-    fuse_scope_towers: bool = True
+    # (their outputs are stop_gradient constants of the loss). Same math
+    # (bit-parity-tested vs the per-scope path) but MEASURED SLIGHTLY SLOWER
+    # on-chip: 845.3 vs 826.8 ms/step at B=512, 410 vs 406 ms at B=256
+    # (tools/ab_step.py, fresh processes) — at these batches the tower
+    # matmuls already saturate the MXU, so halving dispatches buys nothing
+    # and the larger fused calls tile slightly worse. Default OFF; decision
+    # table in ROUND3_NOTES.md.
+    fuse_scope_towers: bool = False
     # Pallas fused qkv-attention in the frozen towers
     # (ops/fused_qkv_attention.py): "auto" = on for TPU backends, off
     # elsewhere; measured 1.5x on the Voltron tower (docs/PALLAS.md)

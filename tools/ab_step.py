@@ -64,6 +64,10 @@ def run(overrides: dict) -> None:
         cost = jitted.lower(state, batch, key).compile().cost_analysis()
         cost = cost[0] if isinstance(cost, (list, tuple)) else cost
         flops = float(cost.get("flops")) if cost and cost.get("flops") else None
+        if flops:
+            # XLA omits pallas_call flops; add the tower-attention matmuls
+            from mdt_policy_tpu.utils.flops import tower_custom_call_flops
+            flops += tower_custom_call_flops(cfg, B)
     except Exception:
         pass
     t0 = time.perf_counter()
