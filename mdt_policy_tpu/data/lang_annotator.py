@@ -26,7 +26,7 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 __all__ = ["annotate_episodes", "scan_dataset", "write_auto_lang_ann",
-           "write_embeddings", "clip_embed_fn"]
+           "write_embeddings", "clip_embed_fn", "st_embed_fn", "make_embed_fn"]
 
 
 def annotate_episodes(
@@ -184,6 +184,37 @@ def clip_embed_fn(train_folder: Optional[str] = None):
     return embed
 
 
+def st_embed_fn(model_name_or_path: str):
+    """Sentence-transformers embedder — the upstream family behind the
+    published CALVIN ``lang_paraphrase-MiniLM-L3-v2`` annotation folders.
+    The reference annotator hydra-instantiates an arbitrary ``cfg.model`` as
+    its lang encoder (automatic_lang_annotator_mp.py:117,214) and the shipped
+    dataset configs point at sentence-transformer MiniLM folders
+    (conf/datamodule/datasets/vision_lang_calvin.yaml:34); this reproduces
+    that option. Pass a local model directory in zero-egress environments."""
+    from sentence_transformers import SentenceTransformer
+
+    model = SentenceTransformer(str(model_name_or_path))
+
+    def embed(sentence: str) -> np.ndarray:
+        return np.asarray(model.encode([sentence], convert_to_numpy=True,
+                                       show_progress_bar=False)[0], np.float32)
+
+    return embed
+
+
+def make_embed_fn(spec: str, train_folder: Optional[str] = None):
+    """Resolve an ``--embedder`` spec: ``clip`` (in-framework CLIP text
+    tower, optionally restored from `train_folder`) or ``st:<name-or-path>``
+    (sentence-transformers, the published datasets' embedding family)."""
+    if spec == "clip":
+        return clip_embed_fn(train_folder)
+    if spec.startswith("st:"):
+        return st_embed_fn(spec[3:])
+    raise ValueError(f"unknown embedder spec {spec!r}; "
+                     "expected 'clip' or 'st:<model-name-or-path>'")
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--root", required=True, help="CALVIN split dir to scan")
@@ -191,6 +222,10 @@ def main():
                     "(default <root>/lang_annotations)")
     ap.add_argument("--train-folder", default=None,
                     help="run dir whose CLIP text tower embeds the sentences")
+    ap.add_argument("--embedder", default="clip",
+                    help="'clip' (in-framework text tower) or "
+                         "'st:<model-name-or-path>' (sentence-transformers, "
+                         "the published datasets' embedding family)")
     ap.add_argument("--window", type=int, default=64)
     ap.add_argument("--stride", type=int, default=16)
     ap.add_argument("--validation", action="store_true",
@@ -213,7 +248,7 @@ def main():
     indices, tasks, sentences = scan_dataset(
         args.root, detect, train_annotations(),
         window=args.window, stride=args.stride)
-    embed = clip_embed_fn(args.train_folder)
+    embed = make_embed_fn(args.embedder, args.train_folder)
     embs = np.stack([embed(s) for s in sentences]) if sentences else \
         np.zeros((0, 512), np.float32)
     out = Path(args.out) if args.out else Path(args.root) / "lang_annotations"

@@ -84,6 +84,71 @@ class TestLangAnnotator:
         np.testing.assert_allclose(table["open_drawer"]["emb"], 1.0)
 
 
+def _tiny_sentence_transformer(out_dir):
+    """Build a from-scratch sentence-transformers model on disk (tiny BERT +
+    mean pooling) — lets the ST embedding path run without network access."""
+    import transformers
+    from sentence_transformers import SentenceTransformer, models
+
+    d = out_dir / "hf"
+    d.mkdir(parents=True)
+    cfg = transformers.BertConfig(
+        vocab_size=30, hidden_size=32, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=37,
+        max_position_embeddings=64)
+    transformers.BertModel(cfg).save_pretrained(d)
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+             "open", "the", "drawer", "pull", "push", "slide", "block",
+             "turn", "on", "off", "light", "lift", "red", "blue", "pink",
+             "rotate", "place", "in", "grasp", "left", "right", "##er",
+             "##s", "a", "to"]
+    (d / "vocab.txt").write_text("\n".join(vocab))
+    transformers.BertTokenizer(str(d / "vocab.txt")).save_pretrained(d)
+    word = models.Transformer(str(d), max_seq_length=32)
+    pool = models.Pooling(32)
+    st_dir = out_dir / "st"
+    SentenceTransformer(modules=[word, pool]).save(str(st_dir))
+    return st_dir
+
+
+def test_sentence_transformer_embedder(tmp_path, monkeypatch):
+    """The reference's published datasets embed annotations with
+    sentence-transformers (vision_lang_calvin.yaml:34 'paraphrase-MiniLM');
+    the --embedder st:<path> option reproduces that family. End-to-end:
+    tiny local ST model -> annotator CLI -> auto_lang_ann.npy/embeddings.npy
+    with ST-dimensional embeddings."""
+    pytest.importorskip("sentence_transformers")
+    monkeypatch.setenv("HF_HUB_OFFLINE", "1")
+    monkeypatch.setenv("TRANSFORMERS_OFFLINE", "1")
+    from mdt_policy_tpu.data.lang_annotator import main, make_embed_fn
+
+    st_dir = _tiny_sentence_transformer(tmp_path)
+    embed = make_embed_fn(f"st:{st_dir}")
+    e = embed("open the drawer")
+    assert e.shape == (32,) and e.dtype == np.float32
+    assert np.isfinite(e).all() and e.std() > 0
+    # deterministic across calls
+    np.testing.assert_array_equal(e, embed("open the drawer"))
+    with pytest.raises(ValueError, match="unknown embedder"):
+        make_embed_fn("bogus")
+
+    from mdt_policy_tpu.data.bench_loader import generate_dataset
+    root = tmp_path / "training"
+    generate_dataset(root, 120, static_hw=16, gripper_hw=16, episode_len=60)
+    out = tmp_path / "lang"
+    monkeypatch.setattr(
+        "sys.argv",
+        ["lang_annotator", "--root", str(root), "--out", str(out),
+         "--embedder", f"st:{st_dir}", "--scripted-oracle", "open_drawer",
+         "--window", "20", "--stride", "10", "--validation"])
+    main()
+    ann = np.load(out / "auto_lang_ann.npy", allow_pickle=True).item()
+    assert ann["language"]["emb"].shape[1:] == (1, 32)
+    assert len(ann["language"]["ann"]) == ann["language"]["emb"].shape[0] > 0
+    table = np.load(out / "embeddings.npy", allow_pickle=True).item()
+    assert all(v["emb"].shape == (32,) for v in table.values())
+
+
 def test_scan_dataset_end_to_end(tmp_path):
     """Thread-parallel episode sweep over an on-disk split: per-frame state
     infos feed a scripted oracle; windows that complete exactly one known
