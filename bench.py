@@ -157,6 +157,19 @@ def main():
     print(f"10-step DDIM device-side latency (chained, no per-call RTT): "
           f"{device_ms:.2f} ms", file=sys.stderr)
 
+    # --- FULL train step from the offline embedding cache
+    # (data.use_extracted_embeddings): all three losses, perceiver + text
+    # tower + denoiser + foresight decoder trainable path — only the frozen
+    # camera towers are gone (their outputs cached offline). Runs BEFORE the
+    # denoiser-only bench, which donates state.params['inner'] ---
+    precomp_cps = precomp_tflop = None
+    try:
+        precomp_cps, precomp_tflop, state = _precomputed_bench(net, cfg, state, B)
+        print(f"precomputed-embeddings full train step: {precomp_cps:.0f} "
+              f"chunks/s ({precomp_tflop:.1f} TFLOP/step)", file=sys.stderr)
+    except Exception as e:
+        print(f"precomputed-embeddings bench skipped: {e}", file=sys.stderr)
+
     # --- denoiser-only trainable step (precomputed embeddings): the
     # action-chunk learner itself, without the frozen towers ---
     denoiser_cps = None
@@ -231,6 +244,12 @@ def main():
             "ddim10_device_side_ms": round(device_ms, 2),
             "denoiser_only_chunks_per_sec":
                 round(denoiser_cps, 1) if denoiser_cps else None,
+            # full step (all 3 losses) from the offline embedding cache —
+            # the data.use_extracted_embeddings training mode
+            "precomputed_embeddings_chunks_per_sec":
+                round(precomp_cps, 1) if precomp_cps else None,
+            "precomputed_embeddings_tflop_per_step":
+                round(precomp_tflop, 2) if precomp_tflop else None,
             "mdt_resnet_chunks_per_sec":
                 round(mdt_cps, 1) if mdt_cps else None,
             "disk_loader_chunks_per_sec":
@@ -241,6 +260,52 @@ def main():
             "disk_loader_scaling": scaling,
         },
     }))
+
+
+def _precomputed_bench(net, cfg, state, B: int):
+    """Full dual-modality train_step over precomputed frozen-tower batches
+    (voltron_tokens + image_latent_goal instead of camera frames — the
+    data/extract_embeddings.py training mode). Returns
+    (chunks/s, TFLOP/step, final state)."""
+    import jax
+    import jax.numpy as jnp
+    from mdt_policy_tpu.agents import train_step
+
+    rng = np.random.default_rng(2)
+    n_tok = 2 * (cfg.img_size // cfg.vit_patch) ** 2
+
+    def scope():
+        return {
+            "voltron_tokens": jnp.asarray(
+                rng.normal(size=(B, n_tok, cfg.perceiver_dim)), jnp.bfloat16),
+            "image_latent_goal": jnp.asarray(
+                rng.normal(size=(B, cfg.clip_embed_dim)), jnp.float32),
+            "gen_static": jnp.asarray(rng.uniform(size=(B, 112, 112, 3)), jnp.float32),
+            "gen_gripper": jnp.asarray(rng.uniform(size=(B, 112, 112, 3)), jnp.float32),
+            "actions": jnp.asarray(rng.normal(size=(B, 10, 7)), jnp.float32),
+            "lang_tokens": jnp.asarray(rng.integers(1, 49408, size=(B, 77)), jnp.int32),
+        }
+
+    batch = {"vis": scope(), "lang": scope()}
+    jitted = jax.jit(partial(train_step, net), donate_argnums=(0,))
+    key = jax.random.PRNGKey(5)
+    flops = None
+    try:
+        cost = jitted.lower(state, batch, key).compile().cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops = float(cost.get("flops")) if cost and cost.get("flops") else None
+    except Exception:
+        pass
+    state, _ = jitted(state, batch, key)
+    np.asarray(state.params["inner"]["tok_emb"]["kernel"][0, 0])
+    dts = []
+    for rep in range(2):
+        t0 = time.perf_counter()
+        for i in range(6):
+            state, _ = jitted(state, batch, jax.random.fold_in(key, rep * 6 + i))
+        np.asarray(state.params["inner"]["tok_emb"]["kernel"][0, 0])
+        dts.append((time.perf_counter() - t0) / 6)
+    return 2 * B / min(dts), (flops / 1e12 if flops else None), state
 
 
 def _mdt_bench(make_batch, B: int = 256) -> float:

@@ -168,14 +168,14 @@ class MDTVAgentNet(nn.Module):
         return jax.image.resize(x, (x.shape[0], s, s, x.shape[3]),
                                 method="linear", antialias=True)
 
-    def compute_voltron_embeddings(self, rgb_static, rgb_gripper):
-        """2-camera frozen ViT tokens -> perceiver latents
-        (ref mdtv_agent.py:392-403). Inputs (B, T, H, W, 3), already
-        CLIP-normalized by the on-device preprocessing stage."""
-        B, T = rgb_static.shape[:2]
+    def voltron_camera_tokens(self, rgb_static, rgb_gripper):
+        """Frozen Voltron tokens for a 2-camera frame pair: (B*, 2N, D) in
+        compute dtype, stop_gradient'd when frozen. Inputs (B*, H, W, 3),
+        already CLIP-normalized. This is the frozen boundary the offline
+        embedding extractor (data/extract_embeddings.py) caches."""
         cdt = jnp.dtype(self.cfg.compute_dtype)
-        flat_s = self._to_vit_size(rgb_static.reshape((B * T,) + rgb_static.shape[2:]))
-        flat_g = self._to_vit_size(rgb_gripper.reshape((B * T,) + rgb_gripper.shape[2:]))
+        flat_s = self._to_vit_size(rgb_static)
+        flat_g = self._to_vit_size(rgb_gripper)
         # tokens STAY in compute dtype into the perceiver (bf16 halves the
         # 392-token grid residency — the round-1 B=1024 OOM hog); the
         # perceiver computes in compute_dtype and returns float32 latents
@@ -191,13 +191,31 @@ class MDTVAgentNet(nn.Module):
         if self.cfg.freeze_img_encoder:
             static_tokens = jax.lax.stop_gradient(static_tokens)
             gripper_tokens = jax.lax.stop_gradient(gripper_tokens)
-        tokens = jnp.concatenate([static_tokens, gripper_tokens], axis=1)[:, None]
+        return jnp.concatenate([static_tokens, gripper_tokens], axis=1)
+
+    def compute_voltron_embeddings(self, rgb_static, rgb_gripper):
+        """2-camera frozen ViT tokens -> perceiver latents
+        (ref mdtv_agent.py:392-403). Inputs (B, T, H, W, 3), already
+        CLIP-normalized by the on-device preprocessing stage."""
+        B, T = rgb_static.shape[:2]
+        tokens = self.voltron_camera_tokens(
+            rgb_static.reshape((B * T,) + rgb_static.shape[2:]),
+            rgb_gripper.reshape((B * T,) + rgb_gripper.shape[2:]))[:, None]
         return {"state_images": self.perceiver(tokens)}
 
     def perceive(self, rgb_static, rgb_gripper):
         """Uniform perception entry across agent variants (MDT-V: voltron +
         perceiver; MDT: per-camera ResNets)."""
         return self.compute_voltron_embeddings(rgb_static, rgb_gripper)
+
+    def perceive_tokens(self, voltron_tokens):
+        """Perceiver latents from cached frozen Voltron tokens — the
+        precomputed-embedding entry (data/extract_embeddings.py). Accepts
+        (B, 2N, D) per-frame rows or the (B, 1, 2N, D) perceiver layout."""
+        vt = voltron_tokens[:, None] if voltron_tokens.ndim == 3 \
+            else voltron_tokens
+        return {"state_images": self.perceiver(
+            vt.astype(jnp.dtype(self.cfg.compute_dtype)))}
 
     def frozen_towers(self, batch: Dict[str, Batch]) -> Dict[str, Dict[str, jax.Array]]:
         """Cross-scope fused frozen-tower forward (cfg.fuse_scope_towers).
@@ -303,11 +321,27 @@ class MDTVAgentNet(nn.Module):
         actions = batch["actions"]
         B = actions.shape[0]
 
+        if towers is None and "voltron_tokens" in batch \
+                and "image_latent_goal" in batch:
+            # precomputed frozen-tower batch keys (the offline embedding
+            # cache, data/extract_embeddings.py — the reference's
+            # extract_by_key idiom applied to the frozen towers): the camera
+            # ViTs never run; constants of the loss, like the in-program
+            # stop_gradient'd towers
+            towers = {
+                "voltron_tokens": batch["voltron_tokens"],
+                "image_latent_goal":
+                    batch["image_latent_goal"].astype(jnp.float32),
+            }
+            if modality == "lang":
+                towers["lang_latent_goal"] = self.encode_language_goal(
+                    batch["lang_tokens"])
+
         if towers is not None:
             image_latent_goal = towers["image_latent_goal"]
             latent_goal = towers["lang_latent_goal"] if modality == "lang" \
                 else image_latent_goal
-            perceptual_emb = {"state_images": self.perceiver(towers["voltron_tokens"])}
+            perceptual_emb = self.perceive_tokens(towers["voltron_tokens"])
         else:
             image_latent_goal = self.encode_visual_goal(batch["rgb_static"][:, -1])
             if modality == "lang":
@@ -409,6 +443,18 @@ def init_agent(cfg: MDTVConfig, rng: jax.Array, example_batch: Batch) -> Tuple[M
     init_rngs = dict(zip(
         ("params", "dropout", "sigma", "noise", "mask", "goal_mask"),
         jax.random.split(rng, 6)))
+    # init must touch EVERY submodule — a precomputed-embedding batch
+    # (voltron_tokens/image_latent_goal keys) would skip the frozen camera
+    # towers and leave their params uninitialized, breaking checkpoint
+    # layout and eval restore; init through the full rgb path instead
+    # (dummy frames if the loader emits none), precomputed keys stripped
+    example_batch = {k: v for k, v in example_batch.items()
+                     if k not in ("voltron_tokens", "image_latent_goal")}
+    if "rgb_static" not in example_batch:
+        B = example_batch["actions"].shape[0]
+        s = cfg.img_size
+        example_batch["rgb_static"] = jnp.zeros((B, 2, s, s, 3), jnp.float32)
+        example_batch["rgb_gripper"] = jnp.zeros((B, 2, 84, 84, 3), jnp.float32)
     # jitted init: eager op-by-op dispatch of a full init is ~100x slower
     init_fn = jax.jit(partial(net.init, modality="lang", train=True))
     variables = init_fn(init_rngs, example_batch)
@@ -446,9 +492,14 @@ def train_step(net, state: TrainState, batch: Dict[str, Batch],
     trainable, frozen = split_params(state.params, net.frozen_prefixes)
 
     towers = None
+    precomputed = all("voltron_tokens" in batch[s] and "image_latent_goal"
+                      in batch[s] for s in scopes)
     # hoisting the towers outside jax.grad is only sound when they're all
-    # actually frozen (constants of the loss); that's the production config
-    if (getattr(net.cfg, "fuse_scope_towers", False)
+    # actually frozen (constants of the loss); that's the production config.
+    # With precomputed embedding keys in the batch there are no tower calls
+    # to fuse — each scope's __call__ reads the cached keys directly.
+    if (not precomputed
+            and getattr(net.cfg, "fuse_scope_towers", False)
             and hasattr(net, "frozen_towers")
             and set(FROZEN_PREFIXES) <= set(net.frozen_prefixes)):
         towers = net.apply({"params": state.params}, batch,
@@ -562,10 +613,18 @@ def validation_step(net: MDTVAgentNet, params, batch: Dict[str, Batch],
     total = 0.0
     for i, scope in enumerate(sorted(batch.keys())):
         b = batch[scope]
-        emb = net.apply({"params": params}, b["rgb_static"][:, :-1],
-                        b["rgb_gripper"][:, :-1], method="perceive")
-        image_goal = net.apply({"params": params}, b["rgb_static"][:, -1],
-                               method="encode_visual_goal")
+        if "voltron_tokens" in b and "image_latent_goal" in b:
+            # precomputed frozen-tower batches (data/extract_embeddings.py):
+            # frozen towers never change during training, so the cached
+            # outputs are exact for validation too
+            emb = net.apply({"params": params}, b["voltron_tokens"],
+                            method="perceive_tokens")
+            image_goal = jnp.asarray(b["image_latent_goal"], jnp.float32)
+        else:
+            emb = net.apply({"params": params}, b["rgb_static"][:, :-1],
+                            b["rgb_gripper"][:, :-1], method="perceive")
+            image_goal = net.apply({"params": params}, b["rgb_static"][:, -1],
+                                   method="encode_visual_goal")
         if scope == "lang":
             goal = net.apply({"params": params}, b["lang_tokens"],
                              method="encode_language_goal")

@@ -108,6 +108,7 @@ class CalvinDataset:
         geometric_p: float = 0.1,
         use_extracted_rel_actions: bool = True,
         use_extracted_frames: bool = True,
+        use_extracted_embeddings: bool = False,
         skip_frames: int = 1,
         seed: int = 0,
         proprio: bool = False,
@@ -180,6 +181,32 @@ class CalvinDataset:
                     names = [int(x.strip()) for x in f]
                 self.ex_name_to_idx = {n: i for i, n in enumerate(names)}
             logger.info("using extracted frame arrays: %s", sorted(self.ex_frames))
+        # precomputed frozen-tower embeddings (data/extract_embeddings.py):
+        # samples carry voltron_tokens + image_latent_goal instead of raw
+        # camera frames; the train step never runs the camera towers
+        self.use_embeddings = use_extracted_embeddings
+        if use_extracted_embeddings:
+            if obs_seq_len != 1:
+                raise ValueError("use_extracted_embeddings supports "
+                                 "obs_seq_len=1 (the production config); "
+                                 f"got {obs_seq_len}")
+            from .extract_embeddings import EMBEDDING_FILES
+            missing = [f for f in EMBEDDING_FILES if not (ex_dir / f).exists()]
+            if missing:
+                raise FileNotFoundError(
+                    f"{missing} missing under {ex_dir} — run "
+                    "mdt_policy_tpu.data.extract_embeddings on this split "
+                    "first, or unset use_extracted_embeddings")
+            # bf16 stored as raw uint16 bits (np has no bf16); rows are
+            # viewed back to bfloat16 after the gather copy
+            self.ex_voltron_tokens = np.load(ex_dir / "ep_voltron_tokens.npy",
+                                             mmap_mode="r")
+            self.ex_clip_img_emb = np.load(ex_dir / "ep_clip_img_emb.npy",
+                                           mmap_mode="r")
+            if not hasattr(self, "ex_name_to_idx"):
+                with open(ex_dir / "ep_npz_names.list") as f:
+                    names = [int(x.strip()) for x in f]
+                self.ex_name_to_idx = {n: i for i, n in enumerate(names)}
         if hasattr(self, "ex_name_to_idx"):
             # sorted file-id array for vectorized id->row mapping (get_batch)
             self._ex_names = np.asarray(sorted(self.ex_name_to_idx), np.int64)
@@ -236,7 +263,8 @@ class CalvinDataset:
             frame_diff = self.img_gen_frame_diff
         gen_img_idx = start_idx + self.obs_seq_len + frame_diff - 1
 
-        obs_keys = self.RGB_KEYS + ("robot_obs",)
+        obs_keys = (("robot_obs",) if self.use_embeddings
+                    else self.RGB_KEYS + ("robot_obs",))
         obs_frames = [self._frame_arrays(i, obs_keys)
                       for i in range(start_idx, start_idx + self.obs_seq_len)]
         gen_frame = self._frame_arrays(gen_img_idx, self.RGB_KEYS)
@@ -267,8 +295,16 @@ class CalvinDataset:
             "gen_static": gen_frame["rgb_static"],
             "gen_gripper": gen_frame["rgb_gripper"],
         }
-        for k in self.RGB_KEYS:
-            sample[k] = np.stack([f[k] for f in obs_frames] + [goal_frame[k]])
+        if self.use_embeddings:
+            import ml_dtypes
+            row = self.ex_name_to_idx[start_idx]  # obs_seq_len == 1
+            sample["voltron_tokens"] = np.asarray(
+                self.ex_voltron_tokens[row]).view(ml_dtypes.bfloat16)
+            sample["image_latent_goal"] = np.asarray(
+                self.ex_clip_img_emb[self.ex_name_to_idx[goal_idx]], np.float32)
+        else:
+            for k in self.RGB_KEYS:
+                sample[k] = np.stack([f[k] for f in obs_frames] + [goal_frame[k]])
         if self.proprio:
             from .proprio import process_state
             obs_robot = sample["robot_obs"][:self.obs_seq_len]
@@ -346,9 +382,17 @@ class CalvinDataset:
         rows = self._ex_rows(frame_ids.ravel())
         T = self.obs_seq_len + 1
         batch: Dict[str, np.ndarray] = {}
-        for k in self.RGB_KEYS:
-            arr = self.ex_frames[k][rows]
-            batch[k] = arr.reshape((B, T) + arr.shape[1:])
+        if self.use_embeddings:
+            import ml_dtypes
+            obs_rows = self._ex_rows(starts)  # obs_seq_len == 1
+            batch["voltron_tokens"] = np.asarray(
+                self.ex_voltron_tokens[obs_rows]).view(ml_dtypes.bfloat16)
+            batch["image_latent_goal"] = np.asarray(
+                self.ex_clip_img_emb[self._ex_rows(goal_ids)], np.float32)
+        else:
+            for k in self.RGB_KEYS:
+                arr = self.ex_frames[k][rows]
+                batch[k] = arr.reshape((B, T) + arr.shape[1:])
         robs = self.ex_frames["robot_obs"][rows].astype(np.float32)
         batch["robot_obs"] = robs.reshape(B, T, -1)
 

@@ -1,0 +1,209 @@
+"""Offline frozen-tower embedding extraction — the reference's
+`extract_by_key` preprocessing idiom (ref preprocess/extract_by_key.py:43-153)
+applied to the FROZEN towers of MDT-V.
+
+The frozen Voltron ViT and CLIP-vision towers are constants of the training
+loss (the reference freezes them outright: voltron_encoder.py:85-87,
+vision_clip.py:39-44) yet they execute ~60 of the ~75 TFLOP of every
+production train step. Because they are per-frame pure functions of the raw
+camera pixels, their outputs can be computed ONCE offline and cached beside
+the dataset — exactly like the reference caches `rel_actions`. This CLI
+sweeps a CALVIN split and writes, row-aligned with `ep_npz_names.list`:
+
+  extracted/ep_voltron_tokens.npy  (N, 2*tokens, D) bfloat16, stored as the
+                                   raw uint16 bit pattern (np has no bf16)
+  extracted/ep_clip_img_emb.npy    (N, E) float32 CLIP image embeddings
+  extracted/embeddings_meta.json   shapes/dtypes + source-run provenance
+
+Training with `data.use_extracted_embeddings=true` then feeds these straight
+into the perceiver / goal seam (agents/mdtv_agent.py `__call__` precomputed
+branch) and the camera towers never run in the train step.
+
+Tradeoffs (opt-in, documented):
+* the DrQ random-shift augmentation cannot apply — embeddings come from
+  eval-preprocessed frames (resize + CLIP-normalize only), the same tradeoff
+  the reference accepts when training from its precomputed language
+  embeddings instead of the text tower;
+* the cache is tied to the tower weights it was extracted with. Production
+  towers are frozen pretrained weights, so one extraction per dataset; the
+  meta file records the source run for sanity.
+
+Usage:
+    python -m mdt_policy_tpu.data.extract_embeddings \
+        --data-dir /data/task_D_D/training --train-folder runs/<name>
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+from pathlib import Path
+
+import numpy as np
+
+from .extract import _episode_files
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["extract_embeddings", "EMBEDDING_FILES"]
+
+EMBEDDING_FILES = ("ep_voltron_tokens.npy", "ep_clip_img_emb.npy")
+
+
+class _FrameReader:
+    """Raw uint8 camera frames by extraction row: contiguous mmap gathers
+    when data/extract.py frame arrays exist, per-npz loads otherwise."""
+
+    def __init__(self, dataset_dir: Path):
+        dataset_dir = Path(dataset_dir)
+        ex = dataset_dir / "extracted"
+        if (ex / "ep_rgb_static.npy").exists() and \
+                (ex / "ep_rgb_gripper.npy").exists():
+            self.static = np.load(ex / "ep_rgb_static.npy", mmap_mode="r")
+            self.gripper = np.load(ex / "ep_rgb_gripper.npy", mmap_mode="r")
+            self.files = None
+            with open(ex / "ep_npz_names.list") as f:
+                self.names = [int(x.strip()) for x in f]
+        else:
+            self.files, self.names = _episode_files(dataset_dir)
+            self.static = self.gripper = None
+
+    def __len__(self) -> int:
+        return len(self.names)
+
+    def read(self, rows: np.ndarray):
+        if self.files is None:
+            return np.asarray(self.static[rows]), np.asarray(self.gripper[rows])
+        s, g = [], []
+        for r in rows:
+            with np.load(self.files[int(r)]) as ep:
+                s.append(np.asarray(ep["rgb_static"]))
+                g.append(np.asarray(ep["rgb_gripper"]))
+        return np.stack(s), np.stack(g)
+
+
+def extract_embeddings(dataset_dir, net, params, *, batch_size: int = 64,
+                       out_dir=None, self_check: int = 2,
+                       source: str = "") -> Path:
+    """Run the frozen towers over every frame of a split and cache their
+    outputs under `extracted/`. `net`/`params` must be an MDT-V agent (its
+    `voltron_camera_tokens` / `encode_visual_goal` methods ARE the frozen
+    boundary the cache replaces)."""
+    import jax
+
+    from .transforms import preprocess_rgb_eval
+
+    if not hasattr(net, "voltron_camera_tokens"):
+        raise ValueError("embedding extraction needs the mdtv agent "
+                         "(frozen Voltron/CLIP towers); got "
+                         f"{type(net).__name__}")
+    dataset_dir = Path(dataset_dir)
+    out_dir = Path(out_dir) if out_dir else dataset_dir / "extracted"
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    cfg = net.cfg
+    static_size = cfg.img_size
+    gripper_size = min(84, cfg.img_size)
+
+    @jax.jit
+    def fwd(static_u8, gripper_u8):
+        # the production EVAL camera pipeline (loader.Preprocessor._eval_impl):
+        # resize + CLIP-normalize, no augmentation — the exact frames the
+        # towers see at rollout time
+        s = preprocess_rgb_eval(static_u8, size=static_size)
+        g = preprocess_rgb_eval(gripper_u8, size=gripper_size)
+        tokens = net.apply({"params": params}, s, g,
+                           method="voltron_camera_tokens")
+        emb = net.apply({"params": params}, s, method="encode_visual_goal")
+        return tokens, emb
+
+    reader = _FrameReader(dataset_dir)
+    n = len(reader)
+    B = min(batch_size, n)
+
+    def run(lo: int) -> tuple:
+        rows = np.arange(lo, min(lo + B, n))
+        if len(rows) < B:  # pad the tail to the compiled shape, slice after
+            rows = np.concatenate([rows, np.full(B - len(rows), rows[-1])])
+        tok, emb = jax.device_get(fwd(*reader.read(rows)))
+        k = min(B, n - lo)
+        return tok[:k], emb[:k]
+
+    tok0, emb0 = run(0)
+    tokens_mm = np.lib.format.open_memmap(
+        out_dir / "ep_voltron_tokens.npy", mode="w+", dtype=np.uint16,
+        shape=(n,) + tok0.shape[1:])
+    emb_mm = np.lib.format.open_memmap(
+        out_dir / "ep_clip_img_emb.npy", mode="w+", dtype=np.float32,
+        shape=(n,) + emb0.shape[1:])
+    tokens_mm[:len(tok0)] = tok0.view(np.uint16)
+    emb_mm[:len(emb0)] = emb0
+    for lo in range(B, n, B):
+        tok, emb = run(lo)
+        tokens_mm[lo:lo + len(tok)] = tok.view(np.uint16)
+        emb_mm[lo:lo + len(emb)] = emb
+        if (lo // B) % 50 == 0:
+            logger.info("extracted embeddings: %d/%d frames", lo, n)
+    tokens_mm.flush()
+    emb_mm.flush()
+
+    names_file = out_dir / "ep_npz_names.list"
+    if not names_file.exists():
+        names_file.write_text("\n".join(str(x) for x in reader.names) + "\n")
+    else:
+        with open(names_file) as f:
+            existing = [int(x.strip()) for x in f]
+        if existing != list(reader.names):
+            raise RuntimeError(f"{names_file} row order disagrees with the "
+                               "frame sweep — extracted/ is inconsistent")
+
+    (out_dir / "embeddings_meta.json").write_text(json.dumps({
+        "voltron_tokens": {"dtype": "bfloat16 (uint16 bits)",
+                           "shape": list(tokens_mm.shape)},
+        "clip_img_emb": {"dtype": "float32", "shape": list(emb_mm.shape)},
+        "img_size": static_size,
+        "source": source,
+    }, indent=2))
+
+    # self-check: recompute random batch-aligned chunks and compare bit-exact
+    # (the reference extract_by_key's random-row re-read, :104-121)
+    rng = np.random.default_rng(0)
+    n_chunks = max(1, (n + B - 1) // B)
+    for lo in rng.integers(0, n_chunks, min(self_check, n_chunks)) * B:
+        tok, emb = run(int(lo))
+        np.testing.assert_array_equal(tokens_mm[lo:lo + len(tok)],
+                                      tok.view(np.uint16))
+        np.testing.assert_array_equal(emb_mm[lo:lo + len(emb)], emb)
+    logger.info("extracted embeddings for %d frames -> %s "
+                "(voltron %s bf16, clip %s f32)", n, out_dir,
+                tokens_mm.shape, emb_mm.shape)
+    return out_dir
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("-i", "--data-dir", required=True,
+                    help="dataset split dir (training/ or validation/)")
+    ap.add_argument("--train-folder", required=True,
+                    help="training run dir whose (frozen) tower weights "
+                         "compute the embeddings")
+    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--no-ema", action="store_true",
+                    help="use raw instead of EMA weights (frozen towers are "
+                         "identical under both; this only matters for "
+                         "sanity experiments)")
+    ap.add_argument("--out-dir", default=None)
+    args = ap.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    from mdt_policy_tpu.evaluate import load_run_agent
+    net, params, _, _ = load_run_agent(args.train_folder,
+                                       use_ema=not args.no_ema)
+    extract_embeddings(args.data_dir, net, params,
+                       batch_size=args.batch_size, out_dir=args.out_dir,
+                       source=str(args.train_folder))
+
+
+if __name__ == "__main__":
+    main()

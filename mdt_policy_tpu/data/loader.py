@@ -282,10 +282,18 @@ class Preprocessor:
     def _train_impl(self, key, batch):
         k1, k2, kd = jax.random.split(key, 3)
         out = dict(batch)
-        out["rgb_static"] = preprocess_rgb_train(
-            k1, batch["rgb_static"], size=self.static_size, shift_pad=self.static_pad)
-        out["rgb_gripper"] = preprocess_rgb_train(
-            k2, batch["rgb_gripper"], size=self.gripper_size, shift_pad=self.gripper_pad)
+        # camera keys are absent in precomputed-embedding batches
+        # (data/extract_embeddings.py): voltron_tokens/image_latent_goal
+        # pass through untouched — the towers already saw eval-preprocessed
+        # frames at extraction time
+        if "rgb_static" in batch:
+            out["rgb_static"] = preprocess_rgb_train(
+                k1, batch["rgb_static"], size=self.static_size,
+                shift_pad=self.static_pad)
+        if "rgb_gripper" in batch:
+            out["rgb_gripper"] = preprocess_rgb_train(
+                k2, batch["rgb_gripper"], size=self.gripper_size,
+                shift_pad=self.gripper_pad)
         out["gen_static"] = preprocess_rgb_eval(batch["gen_static"], size=self.gen_size)
         out["gen_gripper"] = preprocess_rgb_eval(batch["gen_gripper"], size=self.gen_size)
         out["actions"] = batch["actions"].astype(jnp.float32)
@@ -304,7 +312,9 @@ class Preprocessor:
 
     def _eval_impl(self, batch):
         out = dict(batch)
-        out["rgb_static"] = preprocess_rgb_eval(batch["rgb_static"], size=self.static_size)
+        if "rgb_static" in batch:
+            out["rgb_static"] = preprocess_rgb_eval(batch["rgb_static"],
+                                                    size=self.static_size)
         if "rgb_gripper" in batch:
             # goal-image calls carry only the static camera frame
             out["rgb_gripper"] = preprocess_rgb_eval(batch["rgb_gripper"], size=self.gripper_size)

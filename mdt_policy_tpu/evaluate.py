@@ -44,11 +44,12 @@ def load_run_config(train_folder):
     return load_config(str(cfg_file) if cfg_file.exists() else None, [])
 
 
-def build_policy(train_folder: str, *, sampler_type=None, num_sampling_steps=None,
-                 sigma_min=None, sigma_max=None, noise_scheduler=None,
-                 multistep=None, use_ema: bool = True):
-    """Restore the run's agent (mdt or mdtv, per its config snapshot) + EMA
-    params and wrap as a rollout policy with sampler overrides."""
+def load_run_agent(train_folder, *, use_ema: bool = True,
+                   cfg_replace: dict | None = None):
+    """Restore a run's agent net + weights from its config snapshot + best
+    checkpoint (shared by the evaluate CLI and the offline embedding
+    extractor, data/extract_embeddings.py). Returns
+    (net, params, agent_cfg, run_cfg)."""
     import jax
     from mdt_policy_tpu.agents import (MDTConfig, MDTVConfig,
                                        init_agent, init_mdt_agent)
@@ -64,16 +65,7 @@ def build_policy(train_folder: str, *, sampler_type=None, num_sampling_steps=Non
         agent_cfg, init = MDTVConfig(**run_cfg.agent_overrides), init_agent
     else:
         raise ValueError(f"unknown agent {run_cfg.agent!r} in run config")
-
-    # eval-time sampler overrides (ref mdt_evaluate.py:247-256)
-    replace = {}
-    if sampler_type: replace["sampler_type"] = sampler_type
-    if num_sampling_steps: replace["num_sampling_steps"] = num_sampling_steps
-    if sigma_min is not None: replace["sigma_min"] = sigma_min
-    if sigma_max is not None: replace["sigma_max"] = sigma_max
-    if noise_scheduler: replace["noise_scheduler"] = noise_scheduler
-    if multistep: replace["multistep"] = multistep
-    agent_cfg = dataclasses.replace(agent_cfg, **replace)
+    agent_cfg = dataclasses.replace(agent_cfg, **(cfg_replace or {}))
 
     example = {
         "rgb_static": np.zeros((1, 2, agent_cfg.img_size, agent_cfg.img_size, 3), np.float32),
@@ -90,6 +82,25 @@ def build_policy(train_folder: str, *, sampler_type=None, num_sampling_steps=Non
     params = state.ema_params if use_ema else state.params
     logger.info("restored %s agent, %s weights from step %s", run_cfg.agent,
                 "EMA" if use_ema else "raw", int(state.step))
+    return net, params, agent_cfg, run_cfg
+
+
+def build_policy(train_folder: str, *, sampler_type=None, num_sampling_steps=None,
+                 sigma_min=None, sigma_max=None, noise_scheduler=None,
+                 multistep=None, use_ema: bool = True):
+    """Restore the run's agent (mdt or mdtv, per its config snapshot) + EMA
+    params and wrap as a rollout policy with sampler overrides."""
+    # eval-time sampler overrides (ref mdt_evaluate.py:247-256)
+    replace = {}
+    if sampler_type: replace["sampler_type"] = sampler_type
+    if num_sampling_steps: replace["num_sampling_steps"] = num_sampling_steps
+    if sigma_min is not None: replace["sigma_min"] = sigma_min
+    if sigma_max is not None: replace["sigma_max"] = sigma_max
+    if noise_scheduler: replace["noise_scheduler"] = noise_scheduler
+    if multistep: replace["multistep"] = multistep
+
+    net, params, agent_cfg, run_cfg = load_run_agent(
+        train_folder, use_ema=use_ema, cfg_replace=replace)
     from mdt_policy_tpu.evaluation.policy_adapter import make_rollout_policy
     return make_rollout_policy(net, params), agent_cfg, run_cfg
 

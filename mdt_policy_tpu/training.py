@@ -43,6 +43,14 @@ class DataConfig:
     window_sampling_strategy: str = "geometric"
     use_extracted_rel_actions: bool = True
     use_extracted_frames: bool = True   # contiguous-image fast path if present
+    # train from OFFLINE frozen-tower embeddings (data/extract_embeddings.py
+    # must have been run on both splits): batches carry voltron_tokens +
+    # image_latent_goal instead of camera frames and the train step never
+    # executes the camera towers (~60 of ~75 TFLOP/step). mdtv only. The
+    # cache is tied to the tower weights it was extracted with — warm-start
+    # the run (trainer.pretrain_checkpoint) from the same towers so training-
+    # time rollouts/conversions stay coherent. No DrQ shift aug in this mode.
+    use_extracted_embeddings: bool = False
     num_workers: Optional[int] = None   # decode threads (None = min(8, cpus))
     proprio: bool = False               # 8-d state_obs via statistics.yaml
     # depth observation keys loaded from the episode files (e.g.
@@ -243,6 +251,7 @@ def _real_loaders(cfg: RunConfig, split: str = "training", context_length: int =
               window_sampling_strategy=cfg.data.window_sampling_strategy,
               use_extracted_rel_actions=cfg.data.use_extracted_rel_actions,
               use_extracted_frames=cfg.data.use_extracted_frames,
+              use_extracted_embeddings=cfg.data.use_extracted_embeddings,
               proprio=cfg.data.proprio,
               depth_keys=tuple(cfg.data.depth_keys),
               include_scene_obs=include_scene_obs,
@@ -362,6 +371,11 @@ def train(cfg: RunConfig):
     logger.info("run dir: %s | %d devices (%d local)", run_dir,
                 jax.device_count(), jax.local_device_count())
 
+    if cfg.data.use_extracted_embeddings and cfg.agent != "mdtv":
+        raise ValueError(
+            "data.use_extracted_embeddings requires agent=mdtv: only its "
+            "camera towers are frozen constants whose outputs can be cached "
+            "(the mdt agent TRAINS its ResNet encoders)")
     agent_cfg = _make_agent(cfg)
     # per-host data rng (each host feeds its own slice of the global batch);
     # the MODEL rng stays host-independent so init is identical everywhere

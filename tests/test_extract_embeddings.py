@@ -1,0 +1,182 @@
+"""Offline frozen-tower embedding cache (data/extract_embeddings.py):
+extraction, dataset/loader plumbing, loss parity vs the in-program tower
+path, and the training CLI running end-to-end without ever executing the
+camera towers."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from test_train_real_data import _write_split
+from test_training_cli import TINY_OVERRIDES
+
+
+def _tiny_agent(batch_size=2):
+    import jax
+    from mdt_policy_tpu.agents import MDTVConfig, init_agent
+
+    cfg = MDTVConfig(**TINY_OVERRIDES)
+    rng = np.random.default_rng(0)
+    example = {
+        "rgb_static": np.zeros((batch_size, 2, 32, 32, 3), np.float32),
+        "rgb_gripper": np.zeros((batch_size, 2, 32, 32, 3), np.float32),
+        "gen_static": np.zeros((batch_size, 32, 32, 3), np.float32),
+        "gen_gripper": np.zeros((batch_size, 32, 32, 3), np.float32),
+        "actions": rng.normal(size=(batch_size, 10, 7)).astype(np.float32),
+        "lang_tokens": np.zeros((batch_size, cfg.clip_context_length), np.int32),
+    }
+    net, state = init_agent(cfg, jax.random.PRNGKey(0), example)
+    return net, state.params
+
+
+def test_extract_and_loss_parity(tmp_path):
+    """Cached voltron_tokens/image_latent_goal reproduce the in-program
+    frozen-tower losses: same sample, same rngs, eval preprocessing on the
+    rgb path (= what extraction saw), losses match."""
+    import jax
+    import ml_dtypes
+
+    from mdt_policy_tpu.data import CalvinDataset
+    from mdt_policy_tpu.data.extract_embeddings import extract_embeddings
+    from mdt_policy_tpu.data.loader import Preprocessor, collate
+
+    rng = np.random.default_rng(3)
+    split = tmp_path / "calvin" / "validation"  # deterministic windows
+    _write_split(split, 40, rng)
+
+    net, params = _tiny_agent()
+    out = extract_embeddings(split, net, params, batch_size=2)
+    tok = np.load(out / "ep_voltron_tokens.npy")
+    emb = np.load(out / "ep_clip_img_emb.npy")
+    assert tok.dtype == np.uint16 and tok.shape[0] == 40
+    # tiny config: 32px/16 ViT -> 4 tokens per camera, 2 cameras, D=32
+    assert tok.shape[1:] == (8, 32)
+    assert emb.dtype == np.float32 and emb.shape == (40, 16)
+    assert (out / "embeddings_meta.json").exists()
+
+    kw = dict(key="vis", min_window_size=21, max_window_size=30,
+              use_extracted_frames=False)
+    ds_emb = CalvinDataset(split, use_extracted_embeddings=True, **kw)
+    ds_rgb = CalvinDataset(split, **kw)
+
+    s_emb = collate([ds_emb[0], ds_emb[1]])
+    s_rgb = collate([ds_rgb[0], ds_rgb[1]])
+    assert "rgb_static" not in s_emb
+    assert s_emb["voltron_tokens"].dtype == ml_dtypes.bfloat16
+    # row alignment: the sample's obs-frame tokens are the cached rows
+    np.testing.assert_array_equal(
+        s_emb["voltron_tokens"].view(np.uint16), tok[[0, 1]])
+
+    pp = Preprocessor(static_size=32, gripper_size=32, gen_size=32)
+    b_emb = jax.device_get(pp.eval_batch(s_emb))
+    b_rgb = jax.device_get(pp.eval_batch(s_rgb))
+    np.testing.assert_array_equal(b_emb["gen_static"], b_rgb["gen_static"])
+
+    rngs = dict(zip(("dropout", "sigma", "noise", "mask", "goal_mask"),
+                    jax.random.split(jax.random.PRNGKey(7), 5)))
+    out_rgb = net.apply({"params": params}, b_rgb, modality="vis",
+                        train=False, rngs=rngs)
+    out_emb = net.apply({"params": params}, b_emb, modality="vis",
+                        train=False, rngs=rngs)
+    for k in out_rgb:
+        np.testing.assert_allclose(np.asarray(out_emb[k]),
+                                   np.asarray(out_rgb[k]),
+                                   rtol=5e-3, atol=5e-3, err_msg=k)
+
+
+def test_vectorized_batch_matches_items(tmp_path):
+    """get_batch fast path emits the same embedding rows as __getitem__."""
+    from mdt_policy_tpu.data import CalvinDataset
+    from mdt_policy_tpu.data.extract import extract_frames
+    from mdt_policy_tpu.data.extract_embeddings import extract_embeddings
+    from mdt_policy_tpu.data.loader import collate
+
+    rng = np.random.default_rng(4)
+    split = tmp_path / "calvin" / "validation"
+    _write_split(split, 40, rng)
+    extract_frames(split)
+
+    net, params = _tiny_agent()
+    extract_embeddings(split, net, params, batch_size=8)
+
+    kw = dict(key="vis", min_window_size=21, max_window_size=30,
+              use_extracted_embeddings=True)
+    ds = CalvinDataset(split, **kw)
+    idxs = np.array([0, 3, 5])
+    fast = ds.get_batch(idxs)
+    assert fast is not None
+    slow = collate([CalvinDataset(split, **kw)[int(i)] for i in idxs])
+    np.testing.assert_array_equal(fast["voltron_tokens"].view(np.uint16),
+                                  slow["voltron_tokens"].view(np.uint16))
+    np.testing.assert_array_equal(fast["image_latent_goal"],
+                                  slow["image_latent_goal"])
+    np.testing.assert_array_equal(fast["gen_static"], slow["gen_static"])
+    np.testing.assert_array_equal(fast["actions"], slow["actions"])
+
+
+def test_training_cli_with_extracted_embeddings(tmp_path):
+    """End-to-end: train a seed run, extract embeddings from its towers via
+    the CLI, then train from the cache — validation metrics included —
+    without the camera towers ever running in the step."""
+    pytest.importorskip("regex")
+    try:
+        from mdt_policy_tpu.utils.clip_tokenizer import default_bpe_path
+        default_bpe_path()
+    except FileNotFoundError:
+        pytest.skip("BPE vocab not available")
+
+    rng = np.random.default_rng(5)
+    data_root = tmp_path / "calvin"
+    _write_split(data_root / "training", 60, rng)
+    _write_split(data_root / "validation", 40, rng)
+
+    from mdt_policy_tpu.training import (DataConfig, RunConfig, TrainerConfig,
+                                         train)
+
+    overrides = dict(TINY_OVERRIDES)
+    overrides.update(clip_vocab_size=49408, clip_context_length=16)
+    seed_cfg = RunConfig(
+        agent="mdtv", log_dir=str(tmp_path / "runs"), run_name="seed",
+        data=DataConfig(root_data_dir=str(data_root), min_window_size=21,
+                        max_window_size=30),
+        trainer=TrainerConfig(batch_size=2, max_epochs=1, steps_per_epoch=1,
+                              limit_val_batches=1, seed=0, log_every=1),
+        agent_overrides=overrides,
+    )
+    train(seed_cfg)
+    run_dir = tmp_path / "runs" / "seed"
+
+    from mdt_policy_tpu.data.extract_embeddings import main as extract_main
+    for split in ("training", "validation"):
+        extract_main(["-i", str(data_root / split),
+                      "--train-folder", str(run_dir), "--batch-size", "16"])
+        assert (data_root / split / "extracted"
+                / "ep_voltron_tokens.npy").exists()
+
+    # fresh run from the cache, towers warm-started from the seed run so the
+    # cached embeddings stay coherent with the checkpointed tower weights
+    emb_cfg = RunConfig(
+        agent="mdtv", log_dir=str(tmp_path / "runs"), run_name="fromcache",
+        data=DataConfig(root_data_dir=str(data_root), min_window_size=21,
+                        max_window_size=30, use_extracted_embeddings=True),
+        trainer=TrainerConfig(batch_size=2, max_epochs=1, steps_per_epoch=2,
+                              limit_val_batches=1, seed=0, log_every=1,
+                              pretrain_checkpoint=str(run_dir / "checkpoints")),
+        agent_overrides=overrides,
+    )
+    state = train(emb_cfg)
+    assert int(state.step) == 2
+    csv = (tmp_path / "runs" / "fromcache" / "metrics.csv").read_text()
+    assert "train/total_loss" in csv
+    assert "val_act/action_loss" in csv
+
+
+def test_extracted_embeddings_rejects_mdt_agent(tmp_path):
+    from mdt_policy_tpu.training import DataConfig, RunConfig, train
+
+    cfg = RunConfig(agent="mdt",
+                    data=DataConfig(use_extracted_embeddings=True),
+                    log_dir=str(tmp_path))
+    with pytest.raises(ValueError, match="mdtv"):
+        train(cfg)
