@@ -221,13 +221,8 @@ class MDTAgentNet(nn.Module):
 
 
 def make_optimizer(cfg: MDTConfig) -> optax.GradientTransformation:
-    from mdt_policy_tpu.utils.schedulers import tri_stage_schedule
-    sched = tri_stage_schedule(
-        peak_lr=cfg.optimizer.learning_rate,
-        init_lr_scale=cfg.lr_scheduler.init_lr_scale,
-        final_lr_scale=cfg.lr_scheduler.final_lr_scale,
-        total_steps=cfg.lr_scheduler.total_steps,
-        phase_ratio=cfg.lr_scheduler.phase_ratio)
+    from mdt_policy_tpu.utils.schedulers import lr_schedule_from_cfg
+    sched = lr_schedule_from_cfg(cfg)
     return optax.adamw(learning_rate=sched, b1=cfg.optimizer.betas[0],
                        b2=cfg.optimizer.betas[1],
                        weight_decay=cfg.optimizer.transformer_weight_decay)

@@ -45,7 +45,7 @@ from mdt_policy_tpu.models.mdtv_transformer import MDTVTransformer
 from mdt_policy_tpu.models.perceiver import PerceiverResampler
 from mdt_policy_tpu.models.voltron_vit import VoltronViT
 from mdt_policy_tpu.utils.ema import ema_decay, ema_update
-from mdt_policy_tpu.utils.schedulers import tri_stage_schedule
+from mdt_policy_tpu.utils.schedulers import lr_schedule_from_cfg
 
 from .config import MDTVConfig
 
@@ -424,13 +424,7 @@ def make_optimizer(cfg: MDTVConfig) -> optax.GradientTransformation:
     (ref configure_optimizers, mdtv_agent.py:164-199). Applied to the
     TRAINABLE subtree only (frozen towers never enter the optimizer — exactly
     the reference's optimizer-group membership)."""
-    sched = tri_stage_schedule(
-        peak_lr=cfg.optimizer.learning_rate,
-        init_lr_scale=cfg.lr_scheduler.init_lr_scale,
-        final_lr_scale=cfg.lr_scheduler.final_lr_scale,
-        total_steps=cfg.lr_scheduler.total_steps,
-        phase_ratio=cfg.lr_scheduler.phase_ratio,
-    )
+    sched = lr_schedule_from_cfg(cfg)
     return optax.adamw(
         learning_rate=sched,
         b1=cfg.optimizer.betas[0], b2=cfg.optimizer.betas[1],
@@ -525,6 +519,12 @@ def train_step(net, state: TrainState, batch: Dict[str, Batch],
     grads, metrics = jax.grad(loss_fn, has_aux=True)(trainable)
     updates, new_opt_state = state.tx.update(grads, state.opt_state, trainable)
     new_trainable = optax.apply_updates(trainable, updates)
+    # observability scalars of the reference (mdt_agent.py:181-192 grad/param
+    # norms over the optimized params; LearningRateMonitor) — computed inside
+    # the compiled step, so they cost two reductions, no extra host syncs
+    metrics["train/grad_norm"] = optax.global_norm(grads)
+    metrics["train/param_norm"] = optax.global_norm(new_trainable)
+    metrics["train/lr"] = lr_schedule_from_cfg(net.cfg)(state.step)
     new_params = {**new_trainable, **frozen}
     # reference EMA sees the POST-increment global step (ema.py:131-142);
     # EMA over trainables only — frozen towers never move, their EMA is
@@ -601,6 +601,42 @@ def denoise_actions(
             context = encode(jnp.full((B,), float(sigmas[0])))
         return actions, context
     return actions
+
+
+def reconstruction_forward(net, params, b: Batch, rng: jax.Array, *,
+                           modality: str = "lang"):
+    """Masked-foresight reconstruction for visualization (the reference's
+    `store_img` validation branch, mdt/models/mdt_agent.py:398-417): encode
+    the scene context once at sigma_max (the sampler's hoisted-context
+    sigma), run the generative decoder, return (goal_imgs, recon, mask) for
+    models/masked_decoder.reconstruct_images. Works for both agent variants
+    and for precomputed-embedding batches. jit with
+    `jax.jit(partial(reconstruction_forward, net))`."""
+    cfg = net.cfg
+    if "voltron_tokens" in b and "image_latent_goal" in b:
+        emb = net.apply({"params": params}, b["voltron_tokens"],
+                        method="perceive_tokens")
+        image_goal = jnp.asarray(b["image_latent_goal"], jnp.float32)
+    else:
+        emb = net.apply({"params": params}, b["rgb_static"][:, :-1],
+                        b["rgb_gripper"][:, :-1], method="perceive")
+        image_goal = net.apply({"params": params}, b["rgb_static"][:, -1],
+                               method="encode_visual_goal")
+    if modality == "lang" and "lang_tokens" in b:
+        goal = net.apply({"params": params}, b["lang_tokens"],
+                         method="encode_language_goal")
+    else:
+        goal = image_goal
+    if goal.ndim == 2:
+        goal = goal[:, None]
+    sigma = jnp.full((goal.shape[0],), cfg.sigma_max)
+    context = net.apply({"params": params}, emb, goal, sigma,
+                        modality=modality, train=False,
+                        method="encode_context")
+    goal_imgs = jnp.stack([b["gen_static"], b["gen_gripper"]], axis=1)
+    recon, mask, _, _ = net.apply({"params": params}, context, goal_imgs,
+                                  rngs={"mask": rng}, method="gen_img_forward")
+    return goal_imgs, recon, mask
 
 
 def validation_step(net: MDTVAgentNet, params, batch: Dict[str, Batch],

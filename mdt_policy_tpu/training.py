@@ -90,6 +90,10 @@ class TrainerConfig:
     # The poisoned state is never checkpointed; auto-resume restores the
     # last good save.
     halt_on_nonfinite: bool = True
+    # save a masked-foresight reconstruction grid per validation epoch under
+    # <run_dir>/media (+ wandb.Image when active) — the reference's store_img
+    # validation branch (mdt/models/mdt_agent.py:398-417)
+    log_recon_images: bool = True
 
 
 class TrainingDivergedError(RuntimeError):
@@ -368,6 +372,7 @@ def train(cfg: RunConfig):
         run_dir.mkdir(parents=True, exist_ok=True)
         (run_dir / "config.yaml").write_text(
             _yaml.safe_dump(dataclasses.asdict(cfg)))
+        _write_system_info(run_dir)
     logger.info("run dir: %s | %d devices (%d local)", run_dir,
                 jax.device_count(), jax.local_device_count())
 
@@ -503,6 +508,8 @@ def train(cfg: RunConfig):
     # reason, mdt/models/mdt_agent.py:281-357)
     jitted_step = jax.jit(partial(train_step, net), donate_argnums=(0,))
     jitted_val = jax.jit(partial(validation_step, net))
+    from mdt_policy_tpu.agents.mdtv_agent import reconstruction_forward
+    jitted_recon = jax.jit(partial(reconstruction_forward, net))
 
     # 3-stage pipeline: loader threads decode ahead, the prefetcher thread
     # shards+preprocesses on device ahead, the main thread only steps —
@@ -591,6 +598,7 @@ def train(cfg: RunConfig):
                 # reference's limit_val_batches=4 on EMA weights); synthetic
                 # mode reuses the current train batch as a smoke check
                 val_metrics: Dict[str, float] = {}
+                first_vbatch = None
                 for vb in range(cfg.trainer.limit_val_batches):
                     k_v, k_vp = jax.random.split(
                         jax.random.fold_in(k_val_base,
@@ -599,12 +607,19 @@ def train(cfg: RunConfig):
                         vbatch = device_batch(k_vp, next(val_iter))
                     else:
                         vbatch = batch
+                    if first_vbatch is None:
+                        first_vbatch = vbatch
                     vm = jitted_val(state.ema_params, vbatch, k_v)
                     for k, v in jax.device_get(vm).items():
                         val_metrics[k] = val_metrics.get(k, 0.0) + float(v)
                 val_metrics = {k: v / cfg.trainer.limit_val_batches
                                for k, v in val_metrics.items()}
                 mlog.log(val_metrics, step + 1)
+                if cfg.trainer.log_recon_images and is_lead:
+                    _log_recon_images(cfg, agent_cfg, jitted_recon, state,
+                                      first_vbatch, run_dir, mlog, step + 1,
+                                      jax.random.fold_in(k_val_base,
+                                                         2**20 + step))
             if checkpointing:
                 ckpt.save(state)
                 logger.info("epoch %d checkpointed at step %d",
@@ -635,6 +650,71 @@ def train(cfg: RunConfig):
             loader.close()
         mlog.finish()
     return state
+
+
+def _write_system_info(run_dir: Path):
+    """Software/hardware snapshot into <run_dir>/system_info.json — the
+    reference's startup system-info dump (mdt/training.py:58,
+    mdt/utils/utils.py:91-137: print_system_env_info). Best-effort."""
+    import json
+    import platform
+    import socket
+
+    try:
+        import jax
+        from collections import Counter
+        info = {
+            "python": platform.python_version(),
+            "platform": platform.platform(),
+            "hostname": socket.gethostname(),
+            "jax": jax.__version__,
+            "backend": jax.default_backend(),
+            "devices": dict(Counter(d.device_kind for d in jax.devices())),
+            "process_count": jax.process_count(),
+        }
+        for mod in ("flax", "optax", "orbax.checkpoint", "numpy"):
+            try:
+                import importlib
+                info[mod] = importlib.import_module(mod).__version__
+            except Exception:
+                pass
+        (run_dir / "system_info.json").write_text(json.dumps(info, indent=2))
+    except Exception as e:
+        logger.warning("system info dump skipped: %s", e)
+
+
+def _log_recon_images(cfg: RunConfig, agent_cfg, jitted_recon, state, vbatch,
+                      run_dir: Path, mlog, step: int, rng):
+    """Save one masked-foresight reconstruction grid (first validation batch,
+    lang scope) under <run_dir>/media and register it with wandb — the
+    reference's store_img validation branch + wandb.Image log
+    (mdt/models/mdt_agent.py:398-417). Best-effort: a broken PIL or a batch
+    without gen targets degrades to a warning, never kills the run."""
+    try:
+        from mdt_policy_tpu.models.masked_decoder import (
+            MaskedTransformerImgDecoder, reconstruct_images)
+        scope = "lang" if "lang" in vbatch else sorted(vbatch)[0]
+        b = vbatch[scope]
+        if "gen_static" not in b:
+            return
+        goal_imgs, recon, mask = jitted_recon(state.ema_params, b, rng)
+        # unbound decoder: reconstruct_images only uses its pure patch-math
+        # attributes (patchify/patch_size/resolution), never params
+        dec = MaskedTransformerImgDecoder(
+            resolution=agent_cfg.gen_img_res,
+            patch_size=agent_cfg.gen_patch_size,
+            decoder_depth=agent_cfg.gen_decoder_depth,
+            decoder_embed_dim=agent_cfg.gen_decoder_dim,
+            decoder_n_heads=agent_cfg.gen_decoder_heads,
+            context_dim=agent_cfg.latent_dim,
+            mask_ratio=agent_cfg.gen_mask_ratio)
+        media = run_dir / "media"
+        media.mkdir(parents=True, exist_ok=True)
+        path = media / f"img_gen_pred_step{step}.png"
+        reconstruct_images(dec, recon, goal_imgs, mask, file_path=path)
+        mlog.log_image("generated_img", path, step)
+    except Exception as e:
+        logger.warning("recon image logging skipped: %s", e)
 
 
 def _maybe_rollout(cfg: RunConfig, net, state, epoch: int):

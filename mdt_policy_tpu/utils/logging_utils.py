@@ -50,6 +50,17 @@ class MetricsLogger:
         if self._wandb is not None:
             self._wandb.log(metrics, step=step)
 
+    def log_image(self, name: str, file_path, step: int):
+        """Register an image artifact (already on disk under the run dir)
+        with wandb when active — the reference's wandb.Image logging of
+        masked-foresight reconstructions (mdt/models/mdt_agent.py:403-417)."""
+        if self._wandb is not None:
+            try:
+                import wandb
+                self._wandb.log({name: wandb.Image(str(file_path))}, step=step)
+            except Exception as e:
+                logger.warning("wandb image log failed: %s", e)
+
     def info(self, msg: str, *args):
         logger.info(msg, *args)
 

@@ -23,7 +23,20 @@ import math
 
 import jax.numpy as jnp
 
-__all__ = ["tri_stage_schedule"]
+__all__ = ["tri_stage_schedule", "lr_schedule_from_cfg"]
+
+
+def lr_schedule_from_cfg(cfg):
+    """The production schedule from an agent config's optimizer/lr_scheduler
+    blocks — single construction point shared by both agents' optimizers and
+    the train-step `train/lr` metric (the reference's LearningRateMonitor
+    scalar, mdt/training.py:62)."""
+    return tri_stage_schedule(
+        peak_lr=cfg.optimizer.learning_rate,
+        init_lr_scale=cfg.lr_scheduler.init_lr_scale,
+        final_lr_scale=cfg.lr_scheduler.final_lr_scale,
+        total_steps=cfg.lr_scheduler.total_steps,
+        phase_ratio=cfg.lr_scheduler.phase_ratio)
 
 
 def tri_stage_schedule(

@@ -172,6 +172,54 @@ def test_training_cli_with_extracted_embeddings(tmp_path):
     assert "val_act/action_loss" in csv
 
 
+def test_learns_from_precomputed_batch():
+    """The cache-mode train step actually LEARNS: with camera towers never
+    executing, a constant-action precomputed batch is overfit (diffusion
+    loss falls substantially) — the test_convergence guard for the
+    use_extracted_embeddings path."""
+    import dataclasses
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+    from mdt_policy_tpu.agents import MDTVConfig, init_agent, train_step
+
+    cfg = MDTVConfig(**TINY_OVERRIDES)
+    cfg = dataclasses.replace(
+        cfg, optimizer=dataclasses.replace(cfg.optimizer, learning_rate=1e-3),
+        lr_scheduler=dataclasses.replace(cfg.lr_scheduler, total_steps=300))
+    rng = np.random.default_rng(6)
+    B = 2
+    const = np.linspace(-1, 1, 70).reshape(1, 10, 7).astype(np.float32)
+
+    def scope():
+        return {
+            "voltron_tokens": jnp.asarray(
+                rng.normal(size=(B, 8, 32)).astype(ml_dtypes.bfloat16)),
+            "image_latent_goal": jnp.asarray(
+                rng.normal(size=(B, 16)), jnp.float32),
+            "gen_static": jnp.asarray(rng.uniform(size=(B, 32, 32, 3)), jnp.float32),
+            "gen_gripper": jnp.asarray(rng.uniform(size=(B, 32, 32, 3)), jnp.float32),
+            "actions": jnp.broadcast_to(jnp.asarray(const), (B, 10, 7)),
+            "lang_tokens": jnp.asarray(
+                rng.integers(1, cfg.clip_vocab_size,
+                             size=(B, cfg.clip_context_length)), jnp.int32),
+        }
+
+    batch = {"vis": scope(), "lang": scope()}
+    net, state = init_agent(cfg, jax.random.PRNGKey(0), batch["lang"])
+    jitted = jax.jit(partial(train_step, net))
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(250):
+        state, metrics = jitted(state, batch, jax.random.fold_in(key, i))
+        losses.append(float(metrics["lang/action_loss"]))
+    early = float(np.mean(losses[:40]))
+    late = float(np.mean(losses[-40:]))
+    assert late < 0.75 * early, (early, late)
+
+
 def test_extracted_embeddings_rejects_mdt_agent(tmp_path):
     from mdt_policy_tpu.training import DataConfig, RunConfig, train
 

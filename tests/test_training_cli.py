@@ -38,6 +38,14 @@ def test_synthetic_train_run(tmp_path):
     assert int(state.step) == 4
     run_dir = tmp_path / "smoke"
     assert (run_dir / "metrics.csv").exists()
+    # observability scalar parity (ref mdt_agent.py:181-192 +
+    # LearningRateMonitor): grad/param norms and the live lr are logged
+    header = (run_dir / "metrics.csv").read_text().splitlines()[0]
+    for col in ("train/grad_norm", "train/param_norm", "train/lr"):
+        assert col in header, col
+    # masked-foresight reconstruction grid saved each validation epoch
+    # (ref store_img branch, mdt/models/mdt_agent.py:398-417)
+    assert list((run_dir / "media").glob("img_gen_pred_step*.png"))
     # trainer.profile_steps traced step 1 into run_dir/profile
     assert any((run_dir / "profile").rglob("*"))
     ckpts = sorted((run_dir / "checkpoints").iterdir())
