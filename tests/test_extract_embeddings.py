@@ -220,6 +220,48 @@ def test_learns_from_precomputed_batch():
     assert late < 0.75 * early, (early, late)
 
 
+def test_sharded_cache_mode_step(eight_devices):
+    """Cache-mode batches (bf16 voltron_tokens + f32 goal embeddings) shard
+    over the 8-device data mesh and the full train step runs — the
+    multi-chip path of data.use_extracted_embeddings."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+    from mdt_policy_tpu.agents import MDTVConfig, init_agent, train_step
+    from mdt_policy_tpu.parallel import make_mesh, replicate_tree, shard_batch
+
+    cfg = MDTVConfig(**TINY_OVERRIDES)
+    rng = np.random.default_rng(7)
+    B = 8
+
+    def scope():
+        return {
+            "voltron_tokens": rng.normal(size=(B, 8, 32)).astype(
+                ml_dtypes.bfloat16),
+            "image_latent_goal": rng.normal(size=(B, 16)).astype(np.float32),
+            "gen_static": rng.uniform(size=(B, 32, 32, 3)).astype(np.float32),
+            "gen_gripper": rng.uniform(size=(B, 32, 32, 3)).astype(np.float32),
+            "actions": rng.normal(size=(B, 10, 7)).astype(np.float32),
+            "lang_tokens": rng.integers(
+                1, cfg.clip_vocab_size,
+                size=(B, cfg.clip_context_length)).astype(np.int32),
+        }
+
+    raw = {"vis": scope(), "lang": scope()}
+    net, state = init_agent(cfg, jax.random.PRNGKey(0), raw["lang"])
+    mesh = make_mesh(eight_devices[:8])
+    batch = {s: shard_batch(raw[s], mesh) for s in raw}
+    state = state.replace(params=replicate_tree(state.params, mesh),
+                          ema_params=replicate_tree(state.ema_params, mesh),
+                          opt_state=replicate_tree(state.opt_state, mesh))
+    jitted = jax.jit(partial(train_step, net), donate_argnums=(0,))
+    state, metrics = jitted(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["train/total_loss"]))
+    assert np.isfinite(float(metrics["train/grad_norm"]))
+
+
 def test_extracted_embeddings_rejects_mdt_agent(tmp_path):
     from mdt_policy_tpu.training import DataConfig, RunConfig, train
 
