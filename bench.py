@@ -264,12 +264,20 @@ def main():
 
 def _precomputed_bench(net, cfg, state, B: int):
     """Full dual-modality train_step over precomputed frozen-tower batches
-    (voltron_tokens + image_latent_goal instead of camera frames — the
-    data/extract_embeddings.py training mode). Returns
+    (voltron_tokens + image_latent_goal + lang_latent_goal instead of camera
+    frames/text through towers — the data/extract_embeddings.py training
+    mode). Uses the mode's production config (remat_perceiver off, as
+    training.py defaults it — same param tree, numerics-identical). Returns
     (chunks/s, TFLOP/step, final state)."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
     from mdt_policy_tpu.agents import train_step
+    from mdt_policy_tpu.agents.mdtv_agent import MDTVAgentNet
+
+    net = MDTVAgentNet(dataclasses.replace(cfg, remat_perceiver=False,
+                                           gen_compute_dtype="bfloat16"))
 
     rng = np.random.default_rng(2)
     n_tok = 2 * (cfg.img_size // cfg.vit_patch) ** 2
@@ -286,7 +294,11 @@ def _precomputed_bench(net, cfg, state, B: int):
             "lang_tokens": jnp.asarray(rng.integers(1, 49408, size=(B, 77)), jnp.int32),
         }
 
-    batch = {"vis": scope(), "lang": scope()}
+    # the lang scope also carries the cached text-goal embedding
+    # (extract_lang_goals) — in full cache mode NO tower runs in the step
+    batch = {"vis": scope(),
+             "lang": {**scope(), "lang_latent_goal": jnp.asarray(
+                 rng.normal(size=(B, cfg.clip_embed_dim)), jnp.float32)}}
     jitted = jax.jit(partial(train_step, net), donate_argnums=(0,))
     key = jax.random.PRNGKey(5)
     flops = None

@@ -106,6 +106,18 @@ class MDTVConfig:
     gen_decoder_heads: int = 8
     gen_mask_ratio: float = 0.75
     img_gen_frame_diff: int = 3
+    # computation dtype of the (trainable) masked foresight decoder; master
+    # params stay f32 and the loss always accumulates in f32. bfloat16 is
+    # the production default — the reference trains the WHOLE model under
+    # AMP fp16 (conf/config.yaml precision: 16), so a bf16 foresight decoder
+    # is conservative by comparison, and it measured 826.8 -> 762.6 ms/step
+    # (full mode) and 304 -> 238 ms (cache mode) at B=512 (ROUND3_NOTES).
+    # "float32" is the bit-parity escape hatch.
+    gen_compute_dtype: str = "bfloat16"
+    # per-head minor-dim-sliced perceiver attention (no (B,T,H,D) layout
+    # copies — models/perceiver.py _head_slice_attention); identical math,
+    # measure with tools/ab_step.py
+    perceiver_head_slice: bool = False
     # training
     optimizer: OptimizerConfig = OptimizerConfig()
     lr_scheduler: LRSchedulerConfig = LRSchedulerConfig()

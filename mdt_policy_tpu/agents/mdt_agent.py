@@ -93,11 +93,13 @@ class MDTAgentNet(nn.Module):
             use_noise_encoder=c.use_noise_encoder,
             use_modality_encoder=c.use_modality_encoder,
             use_mlp_goal=c.use_mlp_goal, name="inner")
+        gen_dt = jnp.dtype(getattr(c, "gen_compute_dtype", "float32"))
         self.gen_img = MaskedTransformerImgDecoder(
             resolution=c.gen_img_res, patch_size=c.gen_patch_size,
             decoder_depth=c.gen_decoder_depth, decoder_embed_dim=c.gen_decoder_dim,
             decoder_n_heads=c.gen_decoder_heads, context_dim=c.latent_dim,
-            mask_ratio=c.gen_mask_ratio, name="gen_img")
+            mask_ratio=c.gen_mask_ratio,
+            dtype=None if gen_dt == jnp.float32 else gen_dt, name="gen_img")
         # ref mdt_agent.py:112-117
         self.clip_proj = ClipStyleProjection(
             clip_style="single_token", token_dim=c.latent_dim,

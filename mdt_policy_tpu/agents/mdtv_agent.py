@@ -118,7 +118,9 @@ class MDTVAgentNet(nn.Module):
             dim=c.perceiver_dim, depth=c.perceiver_depth, dim_head=c.perceiver_dim_head,
             heads=c.perceiver_heads, num_latents=c.num_latents,
             num_time_embeds=c.perceiver_num_time_embeds,
-            dtype=jnp.dtype(c.compute_dtype), name="perceiver")
+            dtype=jnp.dtype(c.compute_dtype),
+            head_slice=bool(getattr(c, "perceiver_head_slice", False)),
+            name="perceiver")
         self.visual_goal = CLIPVisionTower(
             embed_dim=c.clip_embed_dim, image_resolution=c.img_size,
             layers=c.clip_vision_layers, width=c.clip_vision_width,
@@ -142,11 +144,13 @@ class MDTVAgentNet(nn.Module):
             use_noise_encoder=c.use_noise_encoder,
             use_modality_encoder=c.use_modality_encoder,
             use_mlp_goal=c.use_mlp_goal, name="inner")
+        gen_dt = jnp.dtype(getattr(c, "gen_compute_dtype", "float32"))
         self.gen_img = MaskedTransformerImgDecoder(
             resolution=c.gen_img_res, patch_size=c.gen_patch_size,
             decoder_depth=c.gen_decoder_depth, decoder_embed_dim=c.gen_decoder_dim,
             decoder_n_heads=c.gen_decoder_heads, context_dim=c.latent_dim,
-            mask_ratio=c.gen_mask_ratio, name="gen_img")
+            mask_ratio=c.gen_mask_ratio,
+            dtype=None if gen_dt == jnp.float32 else gen_dt, name="gen_img")
         # clip_proj: style 'map', token_dim=latent_dim, index 1, 4 tokens
         # (ref mdtv_agent.py:133-138)
         self.clip_proj = ClipStyleProjection(
@@ -334,8 +338,13 @@ class MDTVAgentNet(nn.Module):
                     batch["image_latent_goal"].astype(jnp.float32),
             }
             if modality == "lang":
-                towers["lang_latent_goal"] = self.encode_language_goal(
-                    batch["lang_tokens"])
+                # cached text-goal embeddings (extract_lang_goals) when the
+                # loader provides them — then NO tower runs in this step;
+                # otherwise the (frozen) text tower encodes in-program
+                towers["lang_latent_goal"] = (
+                    batch["lang_latent_goal"].astype(jnp.float32)
+                    if "lang_latent_goal" in batch
+                    else self.encode_language_goal(batch["lang_tokens"]))
 
         if towers is not None:
             image_latent_goal = towers["image_latent_goal"]
@@ -443,7 +452,8 @@ def init_agent(cfg: MDTVConfig, rng: jax.Array, example_batch: Batch) -> Tuple[M
     # layout and eval restore; init through the full rgb path instead
     # (dummy frames if the loader emits none), precomputed keys stripped
     example_batch = {k: v for k, v in example_batch.items()
-                     if k not in ("voltron_tokens", "image_latent_goal")}
+                     if k not in ("voltron_tokens", "image_latent_goal",
+                                  "lang_latent_goal")}
     if "rgb_static" not in example_batch:
         B = example_batch["actions"].shape[0]
         s = cfg.img_size
@@ -662,8 +672,10 @@ def validation_step(net: MDTVAgentNet, params, batch: Dict[str, Batch],
             image_goal = net.apply({"params": params}, b["rgb_static"][:, -1],
                                    method="encode_visual_goal")
         if scope == "lang":
-            goal = net.apply({"params": params}, b["lang_tokens"],
-                             method="encode_language_goal")
+            goal = jnp.asarray(b["lang_latent_goal"], jnp.float32) \
+                if "lang_latent_goal" in b else \
+                net.apply({"params": params}, b["lang_tokens"],
+                          method="encode_language_goal")
         else:
             goal = image_goal
         pred, context = denoise_actions(

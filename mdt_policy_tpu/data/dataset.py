@@ -203,6 +203,17 @@ class CalvinDataset:
                                              mmap_mode="r")
             self.ex_clip_img_emb = np.load(ex_dir / "ep_clip_img_emb.npy",
                                            mmap_mode="r")
+            # optional text-goal cache (per annotation sentence): with it the
+            # train step runs NO tower at all; absent -> the in-program CLIP
+            # text tower encodes lang_tokens as usual
+            self.ex_lang_goal = None
+            if self.with_lang and (ex_dir / "ep_lang_goal_emb.npy").exists():
+                self.ex_lang_goal = np.load(ex_dir / "ep_lang_goal_emb.npy")
+                if len(self.ex_lang_goal) != len(self.lang_text):
+                    raise ValueError(
+                        f"ep_lang_goal_emb.npy has {len(self.ex_lang_goal)} "
+                        f"rows but the split has {len(self.lang_text)} "
+                        "annotations — re-run extract_embeddings")
             if not hasattr(self, "ex_name_to_idx"):
                 with open(ex_dir / "ep_npz_names.list") as f:
                     names = [int(x.strip()) for x in f]
@@ -302,6 +313,9 @@ class CalvinDataset:
                 self.ex_voltron_tokens[row]).view(ml_dtypes.bfloat16)
             sample["image_latent_goal"] = np.asarray(
                 self.ex_clip_img_emb[self.ex_name_to_idx[goal_idx]], np.float32)
+            if self.with_lang and self.ex_lang_goal is not None:
+                sample["lang_latent_goal"] = np.asarray(
+                    self.ex_lang_goal[int(self.lang_lookup[idx])], np.float32)
         else:
             for k in self.RGB_KEYS:
                 sample[k] = np.stack([f[k] for f in obs_frames] + [goal_frame[k]])
@@ -389,6 +403,9 @@ class CalvinDataset:
                 self.ex_voltron_tokens[obs_rows]).view(ml_dtypes.bfloat16)
             batch["image_latent_goal"] = np.asarray(
                 self.ex_clip_img_emb[self._ex_rows(goal_ids)], np.float32)
+            if self.with_lang and self.ex_lang_goal is not None:
+                batch["lang_latent_goal"] = np.asarray(
+                    self.ex_lang_goal[self.lang_lookup[idxs]], np.float32)
         else:
             for k in self.RGB_KEYS:
                 arr = self.ex_frames[k][rows]

@@ -39,6 +39,7 @@ import argparse
 import json
 import logging
 from pathlib import Path
+from typing import Optional
 
 import numpy as np
 
@@ -81,6 +82,43 @@ class _FrameReader:
                 s.append(np.asarray(ep["rgb_static"]))
                 g.append(np.asarray(ep["rgb_gripper"]))
         return np.stack(s), np.stack(g)
+
+
+def extract_lang_goals(dataset_dir, net, params, *, out_dir=None,
+                       lang_folder: str = "lang_clip_resnet50",
+                       context_length: int = 77) -> Optional[Path]:
+    """Cache the frozen CLIP-text goal embeddings of every annotation
+    sentence: `extracted/ep_lang_goal_emb.npy`, row-aligned with the
+    auto_lang_ann annotation order (the dataset's lang_lookup indices into
+    it). The text tower is frozen, so like the camera towers its outputs are
+    constants — with this cache the train step runs NO tower at all.
+    Returns None (with a log) when the split carries no annotations."""
+    import jax
+
+    from mdt_policy_tpu.utils.clip_tokenizer import tokenize
+
+    dataset_dir = Path(dataset_dir)
+    out_dir = Path(out_dir) if out_dir else dataset_dir / "extracted"
+    for cand in (dataset_dir / lang_folder / "auto_lang_ann.npy",
+                 dataset_dir / "auto_lang_ann.npy"):
+        if cand.exists():
+            lang_data = np.load(cand, allow_pickle=True).item()
+            break
+    else:
+        logger.info("no auto_lang_ann.npy under %s — lang goal cache skipped",
+                    dataset_dir)
+        return None
+    import jax.numpy as jnp
+
+    texts = list(lang_data["language"]["ann"])
+    ids = tokenize(texts, context_length)
+    emb = jax.device_get(net.apply({"params": params}, jnp.asarray(ids),
+                                   method="encode_language_goal"))
+    out_dir.mkdir(parents=True, exist_ok=True)
+    out = out_dir / "ep_lang_goal_emb.npy"
+    np.save(out, np.asarray(emb, np.float32))
+    logger.info("cached %d annotation goal embeddings -> %s", len(texts), out)
+    return out
 
 
 def extract_embeddings(dataset_dir, net, params, *, batch_size: int = 64,
@@ -194,6 +232,9 @@ def main(argv=None):
                          "identical under both; this only matters for "
                          "sanity experiments)")
     ap.add_argument("--out-dir", default=None)
+    ap.add_argument("--lang-folder", default="lang_clip_resnet50",
+                    help="annotation folder whose sentences get text-goal "
+                         "embeddings cached (skipped when absent)")
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -203,6 +244,9 @@ def main(argv=None):
     extract_embeddings(args.data_dir, net, params,
                        batch_size=args.batch_size, out_dir=args.out_dir,
                        source=str(args.train_folder))
+    extract_lang_goals(args.data_dir, net, params, out_dir=args.out_dir,
+                       lang_folder=args.lang_folder,
+                       context_length=net.cfg.clip_context_length)
 
 
 if __name__ == "__main__":

@@ -59,9 +59,10 @@ __all__ = [
 dense_init = nn.initializers.normal(stddev=0.02)
 
 
-def _dense(features: int, use_bias: bool = True, name: Optional[str] = None) -> nn.Dense:
+def _dense(features: int, use_bias: bool = True, name: Optional[str] = None,
+           dtype=None) -> nn.Dense:
     return nn.Dense(features, use_bias=use_bias, kernel_init=dense_init,
-                    bias_init=nn.initializers.zeros, name=name)
+                    bias_init=nn.initializers.zeros, name=name, dtype=dtype)
 
 
 def mish(x: jax.Array) -> jax.Array:
@@ -80,13 +81,21 @@ class BiaslessLayerNorm(nn.Module):
 
 
 class RMSNorm(nn.Module):
-    """L2-norm RMSNorm with clamped denominator (ref :43-51)."""
+    """L2-norm RMSNorm with clamped denominator (ref :43-51).
+
+    `dtype` (None = promote normally): computation dtype — the f32 master
+    param `g` is cast to it, so a bf16 input stays bf16 end to end (the
+    frozen towers get this implicitly from bf16-cast params; trainable
+    consumers like the gen decoder need the explicit cast)."""
     eps: float = 1e-8
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         dim = x.shape[-1]
         g = self.param("g", nn.initializers.ones, (dim,))
+        if self.dtype is not None:
+            g = g.astype(self.dtype)
         norm = jnp.linalg.norm(x.astype(jnp.float32), axis=-1, keepdims=True) * dim ** -0.5
         return (x / jnp.maximum(norm, self.eps).astype(x.dtype)) * g
 
@@ -94,10 +103,13 @@ class RMSNorm(nn.Module):
 class SwishGLU(nn.Module):
     """Gated linear unit with Swish gate (ref :55-62)."""
     out_dim: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
-        projected, gate = jnp.split(_dense(2 * self.out_dim, name="project")(x), 2, axis=-1)
+        projected, gate = jnp.split(
+            _dense(2 * self.out_dim, name="project", dtype=self.dtype)(x),
+            2, axis=-1)
         return projected * jax.nn.silu(gate)
 
 

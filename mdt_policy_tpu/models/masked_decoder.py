@@ -44,6 +44,10 @@ class MaskedTransformerImgDecoder(nn.Module):
     mask_ratio: float = 0.75
     num_images: int = 2
     norm_pixel_loss: bool = True
+    # computation dtype (None = float32 promotion, the parity default).
+    # bfloat16 halves the decoder's HBM traffic; master params stay f32 and
+    # the loss always accumulates in f32 (compute_loss casts).
+    dtype: "jnp.dtype | None" = None
 
     @property
     def num_patches(self) -> int:
@@ -55,10 +59,10 @@ class MaskedTransformerImgDecoder(nn.Module):
 
     def setup(self):
         self.patch2embed = PatchEmbed(self.patch_size, self.decoder_embed_dim,
-                                      name="patch2embed")
+                                      dtype=self.dtype, name="patch2embed")
         self.encoder2decoder = nn.Dense(self.decoder_embed_dim,
                                         kernel_init=nn.initializers.xavier_uniform(),
-                                        name="encoder2decoder")
+                                        dtype=self.dtype, name="encoder2decoder")
         self.mask_token = self.param("mask_token", dense_init,
                                      (1, 1, self.decoder_embed_dim))
         self.ctx_dec_pe = self.param("ctx_dec_pe", nn.initializers.normal(1.0),
@@ -66,14 +70,14 @@ class MaskedTransformerImgDecoder(nn.Module):
         self.decoder_blocks = [
             VoltronBlock(self.decoder_embed_dim, self.decoder_n_heads, self.mlp_ratio,
                          do_rms_norm=True, do_swish_glu=True, do_layer_scale=True,
-                         name=f"block_{i}")
+                         dtype=self.dtype, name=f"block_{i}")
             for i in range(self.decoder_depth)
         ]
-        self.decoder_norm = RMSNorm(name="decoder_norm")
+        self.decoder_norm = RMSNorm(dtype=self.dtype, name="decoder_norm")
         self.decoder_patch_prediction = nn.Dense(
             (self.patch_size ** 2) * self.in_channels,
             kernel_init=nn.initializers.xavier_uniform(),
-            name="decoder_patch_prediction")
+            dtype=self.dtype, name="decoder_patch_prediction")
 
     def _decoder_pe(self) -> jax.Array:
         grid = self.resolution // self.patch_size
@@ -108,25 +112,28 @@ class MaskedTransformerImgDecoder(nn.Module):
         (B, num_images, H, W, C). Returns (recon, mask, restore_idxs, visible)
         (ref :204-272)."""
         B = context.shape[0]
+        cast = (lambda a: a.astype(self.dtype)) if self.dtype is not None \
+            else (lambda a: a)
         emb_context = self.encoder2decoder(context)
 
         flat = rearrange(target_images, "b t h w c -> (b t) h w c")
         patches = self.patch2embed(flat)
-        dec_pe = self._decoder_pe()
+        dec_pe = cast(self._decoder_pe())
         ctx_patches = rearrange(patches + dec_pe, "(b t) s d -> b t s d",
                                 t=self.num_images)
         visible_ctx, mask, restore_idxs = self.mask(ctx_patches)
 
         n_masked = self.num_patches - self.n_keep
         mask_tokens = jnp.broadcast_to(
-            self.mask_token[:, None],
+            cast(self.mask_token)[:, None],
             (B, self.num_images, n_masked, self.decoder_embed_dim))
         concatenated = jnp.concatenate([visible_ctx, mask_tokens], axis=2)
         unshuffled = jnp.take_along_axis(
             concatenated, restore_idxs[:, None, :, None], axis=2)
 
         # PE added a second time + per-image context embedding (ref :254-257)
-        dec_patches = unshuffled + dec_pe[None] + self.ctx_dec_pe[:, : self.num_images]
+        dec_patches = unshuffled + dec_pe[None] \
+            + cast(self.ctx_dec_pe[:, : self.num_images])
         dec_patches = rearrange(dec_patches, "b t s d -> b (t s) d")
         x = jnp.concatenate([emb_context, dec_patches], axis=1)
         for block in self.decoder_blocks:
@@ -140,8 +147,11 @@ class MaskedTransformerImgDecoder(nn.Module):
     def compute_loss(self, imgs: jax.Array, reconstructions: jax.Array,
                      mask: jax.Array) -> jax.Array:
         """Per-patch MSE on masked patches, averaged over the 2 frames
-        (ref :274-302)."""
-        targets = self.patchify(imgs)
+        (ref :274-302). Always accumulates in f32 regardless of the
+        decoder's computation dtype."""
+        targets = self.patchify(imgs).astype(jnp.float32)
+        reconstructions = reconstructions.astype(jnp.float32)
+        mask = mask.astype(jnp.float32)
         zero_t, k_t = targets[:, 0], targets[:, 1]
         zero_r, k_r = reconstructions[:, 0], reconstructions[:, 1]
         zero_per_patch = jnp.mean(jnp.square(zero_r - zero_t), axis=-1)

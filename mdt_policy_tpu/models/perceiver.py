@@ -23,19 +23,75 @@ from mdt_policy_tpu.ops.attention import sdpa
 __all__ = ["PerceiverAttentionLayer", "PerceiverResampler"]
 
 
+def _head_slice_attention(q, k, v, heads: int, dim_head: int):
+    """Multi-head attention over (B, Tq/Tk, heads*dim_head) operands via
+    per-head minor-dim slices — no (B, T, H, D) tensor ever materializes.
+
+    Slicing the feature (minor) axis at dim_head alignment is free; the
+    score matmul contracts both operands' minor dims (MXU 'NT') and the PV
+    matmul contracts K's second-minor ('NN') — neither needs a physical
+    transpose of the (B, T, inner) K/V, unlike the 4-D head layouts XLA
+    retiles with full-tensor copies. Same math as ops/attention.sdpa;
+    sdpa stays the default for self-attention shapes where Tq == Tk keeps
+    the 4-D layout profitable."""
+    scale = dim_head ** -0.5
+    low_precision = q.dtype in (jnp.bfloat16, jnp.float16)
+    outs = []
+    for h in range(heads):
+        sl = slice(h * dim_head, (h + 1) * dim_head)
+        # same dtype staging as ops/attention.sdpa: scores live in the
+        # compute dtype for bf16 inputs, softmax accumulates in f32
+        scores = jnp.einsum("bqd,btd->bqt", q[..., sl], k[..., sl])
+        scores = scores * jnp.asarray(scale, q.dtype) if low_precision \
+            else scores.astype(jnp.float32) * scale
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        outs.append(jnp.einsum("bqt,btd->bqd", probs.astype(q.dtype),
+                               v[..., sl]))
+    return jnp.concatenate(outs, axis=-1)
+
+
+class _LNAffine(nn.Module):
+    """The affine half of a LayerNorm, applied to an input whose
+    normalization statistics were already applied (hoisted by the caller).
+    Parameter tree path and shapes are identical to nn.LayerNorm, so
+    checkpoints and ports are unaffected."""
+
+    @nn.compact
+    def __call__(self, xhat):
+        d = xhat.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (d,))
+        bias = self.param("bias", nn.initializers.zeros, (d,))
+        return xhat * scale.astype(xhat.dtype) + bias.astype(xhat.dtype)
+
+
 class PerceiverAttentionLayer(nn.Module):
     dim: int
     dim_head: int = 64
     heads: int = 8
     dtype: jnp.dtype = jnp.float32   # activation dtype; params stay float32
+    # head-sliced attention: per-head minor-dim slices of the (B, T, inner)
+    # K/V instead of a (B, T, H, D) reshape — the 4-D layout costs ~61 ms of
+    # physical transpose copies per cache-mode step at B=512 (trace_ops
+    # --precomputed), while 64-aligned minor-dim slices feed the MXU's
+    # NT/NN matmuls with no copy. Math identical to sdpa (parity-tested).
+    head_slice: bool = False
 
     @nn.compact
-    def __call__(self, features, latents):
-        """Latents cross-attend to (features ++ latents) (ref :30-77)."""
+    def __call__(self, features, latents, features_prenormed: bool = False):
+        """Latents cross-attend to (features ++ latents) (ref :30-77).
+
+        features_prenormed=True means the caller already applied the
+        normalization STATISTICS to `features` (they are layer-independent —
+        the media never changes across resampler layers), so this layer only
+        applies its own learned affine: bit-identical math, one stats pass
+        instead of `depth`."""
         assert features.ndim == 3 and latents.ndim == 3
         B, n_queries, _ = latents.shape
         inner = self.dim_head * self.heads
-        x = nn.LayerNorm(name="norm_media", dtype=self.dtype)(features)
+        if features_prenormed:
+            x = _LNAffine(name="norm_media")(features)
+        else:
+            x = nn.LayerNorm(name="norm_media", dtype=self.dtype)(features)
         lat = nn.LayerNorm(name="norm_latents", dtype=self.dtype)(latents)
         q = nn.Dense(inner, use_bias=False, name="to_q", dtype=self.dtype)(lat)
         kv_input = jnp.concatenate([x, lat], axis=-2)
@@ -46,10 +102,13 @@ class PerceiverAttentionLayer(nn.Module):
         # heads, dim_head) K/V grids. End-to-end neutral on the chip
         # (843.9 vs 845 ms/step — XLA overlapped the copies), kept for the
         # smaller program.
-        q = q.reshape(B, n_queries, self.heads, self.dim_head)
-        k = k.reshape(B, -1, self.heads, self.dim_head)
-        v = v.reshape(B, -1, self.heads, self.dim_head)
-        out = sdpa(q, k, v, layout="bthd").reshape(B, n_queries, inner)
+        if self.head_slice:
+            out = _head_slice_attention(q, k, v, self.heads, self.dim_head)
+        else:
+            q = q.reshape(B, n_queries, self.heads, self.dim_head)
+            k = k.reshape(B, -1, self.heads, self.dim_head)
+            v = v.reshape(B, -1, self.heads, self.dim_head)
+            out = sdpa(q, k, v, layout="bthd").reshape(B, n_queries, inner)
         return nn.Dense(self.dim, use_bias=False, name="to_out",
                         dtype=self.dtype)(out)
 
@@ -89,6 +148,7 @@ class PerceiverResampler(nn.Module):
     # activation/compute dtype (params are always float32); bf16 halves the
     # dominant K/V residuals over the 392-token voltron grid at large batch
     dtype: jnp.dtype = jnp.float32
+    head_slice: bool = False   # see PerceiverAttentionLayer.head_slice
 
     @nn.compact
     def __call__(self, x_f, mask=None):
@@ -107,12 +167,21 @@ class PerceiverResampler(nn.Module):
             tpe = tpe * mask[:, :, None, None].astype(tpe.dtype)
         x_f = (x_f + tpe.astype(x_f.dtype)).astype(self.dtype)
         x_f = x_f.reshape(B, -1, self.dim)
+        # the media is constant across layers, so its LayerNorm STATISTICS
+        # are too — normalize once here (no params), each layer applies only
+        # its own affine (_LNAffine). Identical math, one stats pass over
+        # the (B, 392, dim) grid instead of `depth` (the grid is the HBM-
+        # traffic hog of this module at production batch).
+        x_f = nn.LayerNorm(use_scale=False, use_bias=False, dtype=self.dtype,
+                           name="media_stats")(x_f)
         x = jnp.broadcast_to(latents[None].astype(self.dtype),
                              (B, self.num_latents, self.dim))
         for i in range(self.depth):
             x = x + PerceiverAttentionLayer(self.dim, self.dim_head, self.heads,
                                             dtype=self.dtype,
-                                            name=f"attn_{i}")(x_f, x)
+                                            head_slice=self.head_slice,
+                                            name=f"attn_{i}")(
+                                                x_f, x, features_prenormed=True)
             x = x + FeedForward(self.dim, self.ff_mult, self.activation,
                                 dtype=self.dtype, name=f"ffw_{i}")(x)
         return nn.LayerNorm(name="norm")(x.astype(jnp.float32))

@@ -69,13 +69,14 @@ class PatchEmbed(nn.Module):
     (ref masked_transformer_decoder.py:46-66, NHWC here for TPU layout)."""
     patch_size: int
     embed_dim: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, images: jax.Array) -> jax.Array:
         # images: (B, H, W, C)
         x = nn.Conv(self.embed_dim, (self.patch_size, self.patch_size),
                     strides=(self.patch_size, self.patch_size),
-                    padding="VALID", name="proj")(images)
+                    padding="VALID", name="proj", dtype=self.dtype)(images)
         B, h, w, d = x.shape
         return x.reshape(B, h * w, d)
 
@@ -84,10 +85,13 @@ class LayerScale(nn.Module):
     """Per-channel residual-branch scaling (CaiT); Voltron initializes at 0.1."""
     dim: int
     init_value: float = 0.1
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         gamma = self.param("gamma", nn.initializers.constant(self.init_value), (self.dim,))
+        if self.dtype is not None:
+            gamma = gamma.astype(self.dtype)
         return x * gamma
 
 
@@ -96,12 +100,13 @@ class _ViTAttention(nn.Module):
     dim: int
     n_heads: int
     fused_kernel: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         B, T, C = x.shape
         hd = C // self.n_heads
-        qkv = nn.Dense(3 * C, use_bias=True, name="qkv")(x)
+        qkv = nn.Dense(3 * C, use_bias=True, name="qkv", dtype=self.dtype)(x)
         if self.fused_kernel:
             # Pallas: per-head slicing + scores + softmax + PV all in VMEM,
             # straight off the packed qkv tensor (ops/fused_qkv_attention.py)
@@ -116,7 +121,7 @@ class _ViTAttention(nn.Module):
             k = k.reshape(B, T, self.n_heads, hd)
             v = v.reshape(B, T, self.n_heads, hd)
             y = sdpa(q, k, v, layout="bthd").reshape(B, T, C)
-        return nn.Dense(C, use_bias=True, name="proj")(y)
+        return nn.Dense(C, use_bias=True, name="proj", dtype=self.dtype)(y)
 
 
 class VoltronBlock(nn.Module):
@@ -131,6 +136,10 @@ class VoltronBlock(nn.Module):
     do_layer_scale: bool = True
     fused_kernel: bool = False
     mxu_norm: bool = False
+    # computation dtype (None = promote normally). The frozen towers run
+    # bf16 via bf16-CAST params; trainable consumers (gen decoder) keep f32
+    # master params and set dtype=bf16 to compute in bf16.
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
@@ -140,23 +149,25 @@ class VoltronBlock(nn.Module):
             norm = (lambda n: MXURMSNorm(name=n)) if self.do_rms_norm else \
                    (lambda n: MXULayerNorm(epsilon=1e-6, name=n))
         else:
-            norm = (lambda n: RMSNorm(name=n)) if self.do_rms_norm else \
-                   (lambda n: nn.LayerNorm(epsilon=1e-6, name=n))
+            norm = (lambda n: RMSNorm(name=n, dtype=self.dtype)) \
+                if self.do_rms_norm else \
+                   (lambda n: nn.LayerNorm(epsilon=1e-6, name=n, dtype=self.dtype))
         attn_out = _ViTAttention(self.dim, self.n_heads,
-                         fused_kernel=self.fused_kernel,
+                         fused_kernel=self.fused_kernel, dtype=self.dtype,
                          name="attn")(norm("norm1")(x))
         if self.do_layer_scale:
-            attn_out = LayerScale(self.dim, name="ls1")(attn_out)
+            attn_out = LayerScale(self.dim, name="ls1", dtype=self.dtype)(attn_out)
         x = x + attn_out
         h = norm("norm2")(x)
         hidden = int(self.mlp_ratio * self.dim)
         if self.do_swish_glu:
-            h = SwishGLU(hidden, name="mlp_glu")(h)
+            h = SwishGLU(hidden, name="mlp_glu", dtype=self.dtype)(h)
         else:
-            h = jax.nn.gelu(nn.Dense(hidden, name="mlp_in")(h), approximate=False)
-        mlp_out = nn.Dense(self.dim, name="mlp_out")(h)
+            h = jax.nn.gelu(nn.Dense(hidden, name="mlp_in", dtype=self.dtype)(h),
+                            approximate=False)
+        mlp_out = nn.Dense(self.dim, name="mlp_out", dtype=self.dtype)(h)
         if self.do_layer_scale:
-            mlp_out = LayerScale(self.dim, name="ls2")(mlp_out)
+            mlp_out = LayerScale(self.dim, name="ls2", dtype=self.dtype)(mlp_out)
         return x + mlp_out
 
 

@@ -359,6 +359,23 @@ def train(cfg: RunConfig):
     from mdt_policy_tpu.utils.checkpoint import Checkpointer, latest_checkpoint
     from mdt_policy_tpu.utils.logging_utils import MetricsLogger
 
+    # cache-mode checks/defaults must land BEFORE the config snapshot below,
+    # so evaluation re-hydrates exactly the agent config that trained
+    if cfg.data.use_extracted_embeddings and cfg.agent != "mdtv":
+        raise ValueError(
+            "data.use_extracted_embeddings requires agent=mdtv: only its "
+            "camera towers are frozen constants whose outputs can be cached "
+            "(the mdt agent TRAINS its ResNet encoders)")
+    if (cfg.data.use_extracted_embeddings
+            and "remat_perceiver" not in cfg.agent_overrides):
+        # remat exists to free the perceiver K/V residuals when the tower
+        # activations crowd HBM; in cache mode the towers are gone, the
+        # residuals fit, and skipping the recompute measured 342 -> 304
+        # ms/step at B=512 (ROUND3_NOTES decision table). Numerics-identical
+        # either way; an explicit agent_overrides.remat_perceiver wins.
+        cfg.agent_overrides["remat_perceiver"] = False
+        logger.info("embedding-cache mode: remat_perceiver defaulted to False")
+
     run_name = cfg.run_name or time.strftime("%Y-%m-%d_%H-%M-%S")
     run_dir = Path(cfg.log_dir) / run_name
     is_lead = jax.process_index() == 0
@@ -376,11 +393,6 @@ def train(cfg: RunConfig):
     logger.info("run dir: %s | %d devices (%d local)", run_dir,
                 jax.device_count(), jax.local_device_count())
 
-    if cfg.data.use_extracted_embeddings and cfg.agent != "mdtv":
-        raise ValueError(
-            "data.use_extracted_embeddings requires agent=mdtv: only its "
-            "camera towers are frozen constants whose outputs can be cached "
-            "(the mdt agent TRAINS its ResNet encoders)")
     agent_cfg = _make_agent(cfg)
     # per-host data rng (each host feeds its own slice of the global batch);
     # the MODEL rng stays host-independent so init is identical everywhere

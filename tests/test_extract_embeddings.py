@@ -153,6 +153,20 @@ def test_training_cli_with_extracted_embeddings(tmp_path):
                       "--train-folder", str(run_dir), "--batch-size", "16"])
         assert (data_root / split / "extracted"
                 / "ep_voltron_tokens.npy").exists()
+        # the text-goal cache rides along (one row per annotation sentence)
+        assert (data_root / split / "extracted"
+                / "ep_lang_goal_emb.npy").exists()
+
+    # lang datasets in cache mode emit the cached text goal per sample
+    from mdt_policy_tpu.data import CalvinDataset
+    ds = CalvinDataset(data_root / "training", key="lang",
+                       min_window_size=21, max_window_size=30,
+                       use_extracted_embeddings=True)
+    s = ds[0]
+    lang_emb_rows = np.load(data_root / "training" / "extracted"
+                            / "ep_lang_goal_emb.npy")
+    np.testing.assert_array_equal(
+        s["lang_latent_goal"], lang_emb_rows[int(ds.lang_lookup[0])])
 
     # fresh run from the cache, towers warm-started from the seed run so the
     # cached embeddings stay coherent with the checkpointed tower weights
@@ -188,7 +202,10 @@ def test_learns_from_precomputed_batch():
     cfg = MDTVConfig(**TINY_OVERRIDES)
     cfg = dataclasses.replace(
         cfg, optimizer=dataclasses.replace(cfg.optimizer, learning_rate=1e-3),
-        lr_scheduler=dataclasses.replace(cfg.lr_scheduler, total_steps=300))
+        lr_scheduler=dataclasses.replace(cfg.lr_scheduler, total_steps=300),
+        # the production cache-mode defaults (training.py): learning must
+        # hold under the bf16 foresight decoder and without perceiver remat
+        remat_perceiver=False, gen_compute_dtype="bfloat16")
     rng = np.random.default_rng(6)
     B = 2
     const = np.linspace(-1, 1, 70).reshape(1, 10, 7).astype(np.float32)

@@ -93,3 +93,34 @@ def test_masked_decoder_port_parity():
         rngs={"mask": jax.random.PRNGKey(0)})
     assert float(np.max(mask)) == 0.0  # nothing masked at ratio 0
     np.testing.assert_allclose(np.asarray(recon), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_bf16_compute_close_to_f32():
+    """gen_compute_dtype=bfloat16: same params, same mask rng — the bf16
+    decoder tracks the f32 one within bf16 tolerance and the loss stays
+    f32."""
+    import jax
+    import jax.numpy as jnp
+
+    kw = dict(resolution=RES, patch_size=PATCH, decoder_depth=DEPTH,
+              decoder_embed_dim=DIM, decoder_n_heads=HEADS,
+              context_dim=CTX_DIM, mask_ratio=0.5)
+    dec32 = MaskedTransformerImgDecoder(**kw)
+    dec16 = MaskedTransformerImgDecoder(dtype=jnp.bfloat16, **kw)
+
+    rng = np.random.default_rng(1)
+    context = rng.normal(size=(2, 3, CTX_DIM)).astype(np.float32)
+    imgs = rng.uniform(size=(2, 2, RES, RES, 3)).astype(np.float32)
+    params = dec32.init({"params": jax.random.PRNGKey(0),
+                         "mask": jax.random.PRNGKey(1)}, context, imgs)["params"]
+    rngs = {"mask": jax.random.PRNGKey(2)}
+    r32, m32, _, _ = dec32.apply({"params": params}, context, imgs, rngs=rngs)
+    r16, m16, _, _ = dec16.apply({"params": params}, context, imgs, rngs=rngs)
+    np.testing.assert_array_equal(np.asarray(m32), np.asarray(m16, np.float32))
+    assert r16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(r16, np.float32), np.asarray(r32),
+                               rtol=0.1, atol=0.05)
+    l32 = dec32.apply({"params": params}, imgs, r32, m32, method="compute_loss")
+    l16 = dec16.apply({"params": params}, imgs, r16, m16, method="compute_loss")
+    assert l16.dtype == jnp.float32
+    np.testing.assert_allclose(float(l16), float(l32), rtol=0.05)

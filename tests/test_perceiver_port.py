@@ -60,3 +60,25 @@ def test_perceiver_parity(ref_perceiver):
         ref_out = ref(torch.tensor(x)).numpy()
     our_out = np.asarray(ours.apply({"params": params}, jnp.asarray(x)))
     np.testing.assert_allclose(our_out, ref_out, rtol=1e-4, atol=1e-5)
+
+
+def test_head_slice_attention_matches_sdpa():
+    """perceiver_head_slice: the minor-dim-sliced attention reproduces the
+    sdpa path (same params, f32 and bf16)."""
+    import jax
+    import jax.numpy as jnp
+    from mdt_policy_tpu.models.perceiver import PerceiverResampler
+
+    rng = np.random.default_rng(0)
+    x_f = rng.normal(size=(2, 1, 19, 32)).astype(np.float32)
+    for dt, tol in ((jnp.float32, 1e-6), (jnp.bfloat16, 2e-2)):
+        a = PerceiverResampler(dim=32, depth=2, dim_head=8, heads=4,
+                               num_latents=3, num_time_embeds=1, dtype=dt)
+        b = PerceiverResampler(dim=32, depth=2, dim_head=8, heads=4,
+                               num_latents=3, num_time_embeds=1, dtype=dt,
+                               head_slice=True)
+        params = a.init(jax.random.PRNGKey(0), jnp.asarray(x_f))["params"]
+        ya = a.apply({"params": params}, jnp.asarray(x_f))
+        yb = b.apply({"params": params}, jnp.asarray(x_f))
+        np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                                   rtol=tol, atol=tol)

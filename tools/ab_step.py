@@ -7,6 +7,10 @@ Usage:
 Each argument is a comma-separated set of field=value overrides applied to
 MDTVConfig; the full dual-modality B=512 step is compiled and timed with
 the honest fetch-barrier methodology (docs/BENCHMARKING.md).
+
+AB_STEP_PRECOMPUTED=1 switches the batch to the offline-embedding cache mode
+(voltron_tokens + image_latent_goal instead of camera frames — the
+data.use_extracted_embeddings training step).
 """
 
 from __future__ import annotations
@@ -44,8 +48,21 @@ def run(overrides: dict) -> None:
 
     cfg = dataclasses.replace(MDTVConfig(), **overrides)
     rng = np.random.default_rng(0)
+    precomputed = os.environ.get("AB_STEP_PRECOMPUTED") == "1"
 
     def scope():
+        if precomputed:
+            n_tok = 2 * (cfg.img_size // cfg.vit_patch) ** 2
+            return {
+                "voltron_tokens": jnp.asarray(
+                    rng.normal(size=(B, n_tok, cfg.perceiver_dim)), jnp.bfloat16),
+                "image_latent_goal": jnp.asarray(
+                    rng.normal(size=(B, cfg.clip_embed_dim)), jnp.float32),
+                "gen_static": jnp.asarray(rng.uniform(size=(B, 112, 112, 3)), jnp.float32),
+                "gen_gripper": jnp.asarray(rng.uniform(size=(B, 112, 112, 3)), jnp.float32),
+                "actions": jnp.asarray(rng.normal(size=(B, 10, 7)), jnp.float32),
+                "lang_tokens": jnp.asarray(rng.integers(1, 49408, size=(B, 77)), jnp.int32),
+            }
         return {
             "rgb_static": jnp.asarray(rng.uniform(size=(B, 2, 224, 224, 3)), jnp.bfloat16),
             "rgb_gripper": jnp.asarray(rng.uniform(size=(B, 2, 224, 224, 3)), jnp.bfloat16),
@@ -56,6 +73,10 @@ def run(overrides: dict) -> None:
         }
 
     batch = {"vis": scope(), "lang": scope()}
+    if precomputed and os.environ.get("AB_STEP_LANG_CACHED", "1") == "1":
+        # full cache mode: the text goal is cached too (extract_lang_goals)
+        batch["lang"]["lang_latent_goal"] = jnp.asarray(
+            rng.normal(size=(B, cfg.clip_embed_dim)), jnp.float32)
     net, state = init_agent(cfg, jax.random.PRNGKey(0), batch["lang"])
     jitted = jax.jit(partial(train_step, net), donate_argnums=(0,))
     key = jax.random.PRNGKey(1)

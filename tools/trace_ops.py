@@ -34,6 +34,11 @@ import numpy as np
 
 def classify(name: str) -> str:
     n = name.lower()
+    # newer profiler traces carry the full HLO text ("%fusion.12 = f32[...]
+    # fusion(...)"); classify on the op name alone
+    n = n.lstrip("%").split(" =", 1)[0]
+    if not n:
+        n = name.lower()
     if "custom-call" in n or "tpu_custom_call" in n or "mosaic" in n:
         return "pallas custom-call"
     if n.startswith(("copy", "transpose", "bitcast")) or ".copy" in n:
@@ -116,12 +121,29 @@ def main():
     from mdt_policy_tpu.utils.misc import enable_compile_cache
     enable_compile_cache()
 
+    precomputed = "--precomputed" in sys.argv
+    if precomputed:
+        sys.argv.remove("--precomputed")
     B = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 512
     n_steps = 2
     cfg = MDTVConfig()
     rng = np.random.default_rng(0)
 
     def scope():
+        # --precomputed: the data.use_extracted_embeddings training mode —
+        # cached frozen-tower outputs instead of camera frames
+        if precomputed:
+            n_tok = 2 * (cfg.img_size // cfg.vit_patch) ** 2
+            return {
+                "voltron_tokens": jnp.asarray(
+                    rng.normal(size=(B, n_tok, cfg.perceiver_dim)), jnp.bfloat16),
+                "image_latent_goal": jnp.asarray(
+                    rng.normal(size=(B, cfg.clip_embed_dim)), jnp.float32),
+                "gen_static": jnp.asarray(rng.uniform(size=(B, 112, 112, 3)), jnp.float32),
+                "gen_gripper": jnp.asarray(rng.uniform(size=(B, 112, 112, 3)), jnp.float32),
+                "actions": jnp.asarray(rng.normal(size=(B, 10, 7)), jnp.float32),
+                "lang_tokens": jnp.asarray(rng.integers(1, 49408, size=(B, 77)), jnp.int32),
+            }
         return {
             "rgb_static": jnp.asarray(rng.uniform(size=(B, 2, 224, 224, 3)), jnp.bfloat16),
             "rgb_gripper": jnp.asarray(rng.uniform(size=(B, 2, 224, 224, 3)), jnp.bfloat16),
