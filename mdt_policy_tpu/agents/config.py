@@ -118,6 +118,13 @@ class MDTVConfig:
     # copies — models/perceiver.py _head_slice_attention); identical math,
     # measure with tools/ab_step.py
     perceiver_head_slice: bool = False
+    # factored perceiver cross-attention: fold W_k into the 24-row query
+    # block and re-associate the V side so K/V over the 395-token media
+    # never materialize (models/perceiver.py _factored_kv_attention) —
+    # ~7x fewer perceiver FLOPs and none of the (B,T,H,D) retile copies
+    # (~89 ms/step of the B=512 cache-mode step). Same math by matmul
+    # associativity (parity-tested); checkpoint layout unchanged.
+    perceiver_factored_kv: bool = False
     # training
     optimizer: OptimizerConfig = OptimizerConfig()
     lr_scheduler: LRSchedulerConfig = LRSchedulerConfig()

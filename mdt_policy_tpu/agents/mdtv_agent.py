@@ -120,6 +120,7 @@ class MDTVAgentNet(nn.Module):
             num_time_embeds=c.perceiver_num_time_embeds,
             dtype=jnp.dtype(c.compute_dtype),
             head_slice=bool(getattr(c, "perceiver_head_slice", False)),
+            factored=bool(getattr(c, "perceiver_factored_kv", False)),
             name="perceiver")
         self.visual_goal = CLIPVisionTower(
             embed_dim=c.clip_embed_dim, image_resolution=c.img_size,

@@ -82,3 +82,31 @@ def test_head_slice_attention_matches_sdpa():
         yb = b.apply({"params": params}, jnp.asarray(x_f))
         np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
                                    rtol=tol, atol=tol)
+
+
+def test_factored_kv_attention_matches_sdpa():
+    """perceiver_factored_kv: the fold-W_k-into-q / re-associated-V path is
+    the same math as projecting K/V then attending (matmul associativity) —
+    and its param tree is identical (init must produce the same shapes on
+    the same paths, so checkpoints swap freely between the two)."""
+    import jax
+    import jax.numpy as jnp
+    from mdt_policy_tpu.models.perceiver import PerceiverResampler
+
+    rng = np.random.default_rng(1)
+    x_f = rng.normal(size=(2, 1, 19, 32)).astype(np.float32)
+    # f32 tolerance matches the torch-parity convention: reassociating the
+    # K/V matmuls changes rounding order (measured max abs 7.5e-7 here)
+    for dt, tol in ((jnp.float32, 1e-4), (jnp.bfloat16, 4e-2)):
+        a = PerceiverResampler(dim=32, depth=2, dim_head=8, heads=4,
+                               num_latents=3, num_time_embeds=1, dtype=dt)
+        b = PerceiverResampler(dim=32, depth=2, dim_head=8, heads=4,
+                               num_latents=3, num_time_embeds=1, dtype=dt,
+                               factored=True)
+        params = a.init(jax.random.PRNGKey(0), jnp.asarray(x_f))["params"]
+        params_b = b.init(jax.random.PRNGKey(0), jnp.asarray(x_f))["params"]
+        assert jax.tree.map(jnp.shape, params) == jax.tree.map(jnp.shape, params_b)
+        ya = a.apply({"params": params}, jnp.asarray(x_f))
+        yb = b.apply({"params": params}, jnp.asarray(x_f))
+        np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                                   rtol=tol, atol=tol)

@@ -127,6 +127,11 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 512
     n_steps = 2
     cfg = MDTVConfig()
+    if precomputed:
+        # mirror the training CLI's cache-mode auto-default
+        # (training.py: remat_perceiver=False when use_extracted_embeddings)
+        import dataclasses
+        cfg = dataclasses.replace(cfg, remat_perceiver=False)
     rng = np.random.default_rng(0)
 
     def scope():
@@ -154,6 +159,10 @@ def main():
         }
 
     batch = {"vis": scope(), "lang": scope()}
+    if precomputed:
+        # production cache mode also caches the text goal (extract_lang_goals)
+        batch["lang"]["lang_latent_goal"] = jnp.asarray(
+            rng.normal(size=(B, cfg.clip_embed_dim)), jnp.float32)
     print(f"init (B={B}/modality) ...", flush=True)
     net, state = init_agent(cfg, jax.random.PRNGKey(0), batch["lang"])
     jitted = jax.jit(partial(train_step, net), donate_argnums=(0,))
