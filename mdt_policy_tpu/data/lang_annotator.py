@@ -204,15 +204,26 @@ def st_embed_fn(model_name_or_path: str):
 
 
 def make_embed_fn(spec: str, train_folder: Optional[str] = None):
-    """Resolve an ``--embedder`` spec: ``clip`` (in-framework CLIP text
-    tower, optionally restored from `train_folder`) or ``st:<name-or-path>``
-    (sentence-transformers, the published datasets' embedding family)."""
+    """Resolve an ``--embedder`` spec:
+
+    * ``clip`` — in-framework CLIP text tower, optionally restored from
+      `train_folder`;
+    * ``minilm:<dir>`` — the IN-REPO MiniLM encoder (models/minilm.py) over
+      a local sentence-transformers/HF model folder — emits the 384-d
+      MiniLM-shaped embeddings the published CALVIN annotation folders carry,
+      with no external package and no egress;
+    * ``st:<name-or-path>`` — the external sentence-transformers package
+      (requires it installed)."""
     if spec == "clip":
         return clip_embed_fn(train_folder)
+    if spec.startswith("minilm:"):
+        from mdt_policy_tpu.models.minilm import minilm_embed_fn
+        return minilm_embed_fn(spec[len("minilm:"):])
     if spec.startswith("st:"):
         return st_embed_fn(spec[3:])
     raise ValueError(f"unknown embedder spec {spec!r}; "
-                     "expected 'clip' or 'st:<model-name-or-path>'")
+                     "expected 'clip', 'minilm:<dir>' or "
+                     "'st:<model-name-or-path>'")
 
 
 def main():

@@ -24,11 +24,16 @@ import flax.linen as nn
 
 from mdt_policy_tpu.ops.attention import sdpa
 
-__all__ = ["CLIPVisionTower", "CLIPTextTower", "CLIP_CONFIGS", "quick_gelu"]
+__all__ = ["CLIPVisionTower", "CLIPTextTower", "CLIPResNetTower",
+           "AttentionPool2d", "CLIP_CONFIGS", "clip_config_from_state_dict",
+           "quick_gelu"]
 
 
 # Tower hyperparameters of the OpenAI releases the reference uses
 # (mdt/models/networks/clip.py:467-517 derives these from checkpoint shapes).
+# `vision_layers` as a tuple marks the ModifiedResNet family (per-stage
+# Bottleneck counts); an int marks a ViT tower — the same convention the
+# reference's build_model uses.
 CLIP_CONFIGS = {
     "ViT-B/16": dict(embed_dim=512, image_resolution=224, vision_layers=12,
                      vision_width=768, vision_patch_size=16, context_length=77,
@@ -38,7 +43,60 @@ CLIP_CONFIGS = {
                      vision_width=768, vision_patch_size=32, context_length=77,
                      vocab_size=49408, transformer_width=512, transformer_heads=8,
                      transformer_layers=12),
+    "RN50": dict(embed_dim=1024, image_resolution=224,
+                 vision_layers=(3, 4, 6, 3), vision_width=64,
+                 vision_patch_size=None, context_length=77, vocab_size=49408,
+                 transformer_width=512, transformer_heads=8,
+                 transformer_layers=12),
+    "RN101": dict(embed_dim=512, image_resolution=224,
+                  vision_layers=(3, 4, 23, 3), vision_width=64,
+                  vision_patch_size=None, context_length=77, vocab_size=49408,
+                  transformer_width=512, transformer_heads=8,
+                  transformer_layers=12),
 }
+
+
+def clip_config_from_state_dict(sd) -> dict:
+    """Derive the tower hyperparameters from an OpenAI CLIP checkpoint's
+    tensor shapes — the reference's `build_model` logic
+    (mdt/models/networks/clip.py:467-495) without constructing any module.
+
+    Works on both families: `visual.proj` marks a ViT tower; otherwise the
+    per-stage Bottleneck counts are recovered from the `visual.layerN.*`
+    key numbering and the stem width from `visual.conv1`."""
+    import re
+
+    if "visual.proj" in sd:
+        vision_width = sd["visual.conv1.weight"].shape[0]
+        vision_layers = len([k for k in sd
+                             if re.fullmatch(r"visual\.transformer\.resblocks"
+                                             r"\.\d+\.attn\.in_proj_weight", k)])
+        vision_patch_size = sd["visual.conv1.weight"].shape[-1]
+        grid = int((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5)
+        image_resolution = vision_patch_size * grid
+        embed_dim = sd["visual.proj"].shape[1]
+    else:
+        counts = [len(set(re.findall(rf"visual\.layer{b}\.(\d+)", " ".join(sd))))
+                  for b in (1, 2, 3, 4)]
+        vision_layers = tuple(counts)
+        vision_width = sd["visual.layer1.0.conv1.weight"].shape[0]
+        vision_patch_size = None
+        output_width = int(
+            (sd["visual.attnpool.positional_embedding"].shape[0] - 1) ** 0.5)
+        image_resolution = output_width * 32
+        embed_dim = sd["visual.attnpool.c_proj.weight"].shape[0]
+    return dict(
+        embed_dim=embed_dim, image_resolution=image_resolution,
+        vision_layers=vision_layers, vision_width=vision_width,
+        vision_patch_size=vision_patch_size,
+        context_length=sd["positional_embedding"].shape[0],
+        vocab_size=sd["token_embedding.weight"].shape[0],
+        transformer_width=sd["ln_final.weight"].shape[0],
+        transformer_heads=sd["ln_final.weight"].shape[0] // 64,
+        transformer_layers=len([k for k in sd
+                                if re.fullmatch(r"transformer\.resblocks\.\d+"
+                                                r"\.attn\.in_proj_weight", k)]),
+    )
 
 
 def quick_gelu(x):
@@ -197,6 +255,130 @@ class CLIPTextTower(nn.Module):
         proj = self.param("text_projection", nn.initializers.normal(self.width ** -0.5),
                           (self.width, self.embed_dim))
         return pooled @ proj
+
+
+class _FrozenBatchNorm(nn.Module):
+    """Inference-mode BatchNorm2d with running statistics stored as plain
+    params (scale, bias, mean, var). The RN towers are only ever used frozen
+    (goal encoders), so there is no train-mode statistics update and no
+    mutable `batch_stats` collection — the whole tower stays a pure function
+    of its params, like every other frozen tower here. Port maps torch's
+    weight/bias/running_mean/running_var 1:1."""
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        mean = self.param("mean", nn.initializers.zeros, (C,))
+        var = self.param("var", nn.initializers.ones, (C,))
+        inv = (scale / jnp.sqrt(var + self.epsilon)).astype(x.dtype)
+        return x * inv + (bias - mean * scale
+                          / jnp.sqrt(var + self.epsilon)).astype(x.dtype)
+
+
+def _avg_pool(x, stride: int):
+    return nn.avg_pool(x, (stride, stride), strides=(stride, stride))
+
+
+class _Bottleneck(nn.Module):
+    """CLIP's anti-aliased Bottleneck (ref clip.py:43-91): all convs stride
+    1; when stride > 1 an avgpool runs after conv2 and prefixes the
+    downsample branch."""
+    planes: int
+    stride: int = 1
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        inplanes = x.shape[-1]
+        out_ch = self.planes * self.expansion
+        h = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
+        h = jax.nn.relu(_FrozenBatchNorm(name="bn1")(h))
+        h = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
+                    name="conv2")(h)
+        h = jax.nn.relu(_FrozenBatchNorm(name="bn2")(h))
+        if self.stride > 1:
+            h = _avg_pool(h, self.stride)
+        h = nn.Conv(out_ch, (1, 1), use_bias=False, name="conv3")(h)
+        h = _FrozenBatchNorm(name="bn3")(h)
+        if self.stride > 1 or inplanes != out_ch:
+            idn = _avg_pool(x, self.stride) if self.stride > 1 else x
+            idn = nn.Conv(out_ch, (1, 1), use_bias=False,
+                          name="downsample_conv")(idn)
+            idn = _FrozenBatchNorm(name="downsample_norm")(idn)
+        else:
+            idn = x
+        return jax.nn.relu(h + idn)
+
+
+class AttentionPool2d(nn.Module):
+    """CLIP's QKV attention pool (ref clip.py:93-130): tokens = [mean; grid]
+    + learned positions, multi-head attention, output = attended mean token.
+
+    TPU shape: only the mean token is ever read out, so the query block is
+    computed for that ONE token (q length 1) instead of materializing the
+    full (HW+1)^2 score matrix the torch module builds and throws away —
+    identical math for the returned row."""
+    embed_dim: int
+    num_heads: int
+    output_dim: Optional[int] = None
+    spacial_dim: int = 7
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, H, W, C)
+        B, H, W, C = x.shape
+        tokens = x.reshape(B, H * W, C)
+        tokens = jnp.concatenate([tokens.mean(axis=1, keepdims=True), tokens],
+                                 axis=1)  # (B, HW+1, C)
+        pos = self.param("positional_embedding",
+                         nn.initializers.normal(C ** -0.5),
+                         (self.spacial_dim ** 2 + 1, self.embed_dim))
+        tokens = tokens + pos[None].astype(tokens.dtype)
+        q = nn.Dense(self.embed_dim, name="q_proj")(tokens[:, :1])
+        k = nn.Dense(self.embed_dim, name="k_proj")(tokens)
+        v = nn.Dense(self.embed_dim, name="v_proj")(tokens)
+        hd = self.embed_dim // self.num_heads
+        q = q.reshape(B, 1, self.num_heads, hd)
+        k = k.reshape(B, -1, self.num_heads, hd)
+        v = v.reshape(B, -1, self.num_heads, hd)
+        out = sdpa(q, k, v, layout="bthd").reshape(B, self.embed_dim)
+        return nn.Dense(self.output_dim or self.embed_dim, name="c_proj")(out)
+
+
+class CLIPResNetTower(nn.Module):
+    """CLIP's ModifiedResNet image encoder (RN50-family) -> (B, embed_dim)
+    (ref clip.py:134-206): 3-conv anti-aliased stem with avgpool, four
+    Bottleneck stages, attention pooling instead of global average. NHWC
+    throughout; always used frozen (see _FrozenBatchNorm)."""
+    embed_dim: int = 1024
+    layers: tuple = (3, 4, 6, 3)
+    width: int = 64
+    image_resolution: int = 224
+    heads: int = 0  # 0 -> width * 32 // 64 (the OpenAI convention)
+
+    @nn.compact
+    def __call__(self, images: jax.Array) -> jax.Array:
+        # images: (B, H, W, 3), CLIP-normalized
+        x = images
+        for i, ch in ((1, self.width // 2), (2, self.width // 2),
+                      (3, self.width)):
+            x = nn.Conv(ch, (3, 3), strides=2 if i == 1 else 1, padding=1,
+                        use_bias=False, name=f"conv{i}")(x)
+            x = jax.nn.relu(_FrozenBatchNorm(name=f"bn{i}")(x))
+        x = _avg_pool(x, 2)
+        for stage, blocks in enumerate(self.layers):
+            planes = self.width * (2 ** stage)
+            for b in range(blocks):
+                x = _Bottleneck(planes, stride=2 if (b == 0 and stage > 0)
+                                else 1, name=f"layer{stage + 1}_{b}")(x)
+        feat_dim = self.width * 32
+        return AttentionPool2d(
+            embed_dim=feat_dim, num_heads=self.heads or feat_dim // 64,
+            output_dim=self.embed_dim, spacial_dim=self.image_resolution // 32,
+            name="attnpool")(x)
 
 
 # CLIP preprocessing constants (ref clip.py preprocessing / masked decoder :321-322)

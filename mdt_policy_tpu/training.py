@@ -212,6 +212,23 @@ def _make_agent(cfg: RunConfig):
     raise ValueError(f"unknown agent {cfg.agent!r}")
 
 
+# Agent-config fields whose production default DIFFERS in embedding-cache
+# mode (data.use_extracted_embeddings): with the camera towers gone the
+# perceiver K/V residuals fit HBM, so skipping the remat recompute measured
+# 342 -> 304 ms/step at B=512 (ROUND3_NOTES decision table). Applied by
+# train() before the config snapshot (an explicit agent_overrides entry
+# always wins) and by cache_mode_config() for out-of-CLI users (bench.py).
+CACHE_MODE_AGENT_DEFAULTS: Dict[str, Any] = {"remat_perceiver": False}
+
+
+def cache_mode_config(**overrides):
+    """The MDTVConfig the training CLI would run under
+    data.use_extracted_embeddings with the given agent_overrides — the
+    single source of truth for the cache-mode production configuration."""
+    from mdt_policy_tpu.agents import MDTVConfig
+    return MDTVConfig(**{**CACHE_MODE_AGENT_DEFAULTS, **overrides})
+
+
 def _synthetic_batch(rng: np.random.Generator, B: int, data_cfg: DataConfig,
                      agent_cfg):
     hs, hg = data_cfg.synthetic_static_hw, data_cfg.synthetic_gripper_hw
@@ -366,15 +383,14 @@ def train(cfg: RunConfig):
             "data.use_extracted_embeddings requires agent=mdtv: only its "
             "camera towers are frozen constants whose outputs can be cached "
             "(the mdt agent TRAINS its ResNet encoders)")
-    if (cfg.data.use_extracted_embeddings
-            and "remat_perceiver" not in cfg.agent_overrides):
-        # remat exists to free the perceiver K/V residuals when the tower
-        # activations crowd HBM; in cache mode the towers are gone, the
-        # residuals fit, and skipping the recompute measured 342 -> 304
-        # ms/step at B=512 (ROUND3_NOTES decision table). Numerics-identical
-        # either way; an explicit agent_overrides.remat_perceiver wins.
-        cfg.agent_overrides["remat_perceiver"] = False
-        logger.info("embedding-cache mode: remat_perceiver defaulted to False")
+    if cfg.data.use_extracted_embeddings:
+        # numerics-identical perf defaults for the cache-mode step (see
+        # CACHE_MODE_AGENT_DEFAULTS); explicit agent_overrides entries win
+        for field, value in CACHE_MODE_AGENT_DEFAULTS.items():
+            if field not in cfg.agent_overrides:
+                cfg.agent_overrides[field] = value
+                logger.info("embedding-cache mode: %s defaulted to %r",
+                            field, value)
 
     run_name = cfg.run_name or time.strftime("%Y-%m-%d_%H-%M-%S")
     run_dir = Path(cfg.log_dir) / run_name

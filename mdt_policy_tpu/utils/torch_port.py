@@ -213,6 +213,50 @@ def port_clip_text(sd: Mapping, *, layers: int = 12) -> Dict:
     return params
 
 
+def port_clip_resnet(sd: Mapping, *, layers=(3, 4, 6, 3),
+                     prefix: str = "visual") -> Dict:
+    """OpenAI CLIP `visual.*` ModifiedResNet tower (RN50 family) ->
+    models.clip.CLIPResNetTower params (ref mdt/models/networks/
+    clip.py:134-206). BatchNorm running statistics land on the frozen
+    tower's mean/var params (_FrozenBatchNorm)."""
+    def bn(pfx):
+        return {"scale": _np(sd[f"{pfx}.weight"]),
+                "bias": _np(sd[f"{pfx}.bias"]),
+                "mean": _np(sd[f"{pfx}.running_mean"]),
+                "var": _np(sd[f"{pfx}.running_var"])}
+
+    p = prefix
+    params: Dict = {}
+    for i in (1, 2, 3):
+        params[f"conv{i}"] = _conv_nhwc(sd, f"{p}.conv{i}")
+        params[f"bn{i}"] = bn(f"{p}.bn{i}")
+    for stage, blocks in enumerate(layers):
+        for b in range(blocks):
+            src = f"{p}.layer{stage + 1}.{b}"
+            blk = {
+                "conv1": _conv_nhwc(sd, f"{src}.conv1"),
+                "bn1": bn(f"{src}.bn1"),
+                "conv2": _conv_nhwc(sd, f"{src}.conv2"),
+                "bn2": bn(f"{src}.bn2"),
+                "conv3": _conv_nhwc(sd, f"{src}.conv3"),
+                "bn3": bn(f"{src}.bn3"),
+            }
+            # downsample Sequential: "-1"=avgpool (no params), "0"=conv, "1"=bn
+            if f"{src}.downsample.0.weight" in sd:
+                blk["downsample_conv"] = _conv_nhwc(sd, f"{src}.downsample.0")
+                blk["downsample_norm"] = bn(f"{src}.downsample.1")
+            params[f"layer{stage + 1}_{b}"] = blk
+    ap = f"{p}.attnpool"
+    params["attnpool"] = {
+        "positional_embedding": _np(sd[f"{ap}.positional_embedding"]),
+        "q_proj": _dense(sd, f"{ap}.q_proj"),
+        "k_proj": _dense(sd, f"{ap}.k_proj"),
+        "v_proj": _dense(sd, f"{ap}.v_proj"),
+        "c_proj": _dense(sd, f"{ap}.c_proj"),
+    }
+    return params
+
+
 def port_resnet18_gn(sd: Mapping, *, prefix: str = "backbone", fc_prefix: str = "fc_layers.0") -> Dict:
     """torchvision-style resnet18 (BatchNorm already swapped to GroupNorm,
     ref resnets.py:119-126) -> models.resnet.BesoResNetEncoder params.

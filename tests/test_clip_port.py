@@ -79,3 +79,80 @@ def test_clip_tower_parity(ref_clip):
                                    jnp.asarray(tokens.astype(np.int32))))
     np.testing.assert_allclose(our_img, ref_img, rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(our_txt, ref_txt, rtol=1e-3, atol=1e-4)
+
+
+def test_clip_resnet_tower_parity(ref_clip):
+    """ModifiedResNet (RN50-family) image tower: our flax CLIPResNetTower
+    must reproduce the reference's encode_image after port_clip_resnet
+    (ref clip.py:93-226 AttentionPool2d + ModifiedResNet)."""
+    import torch
+    import jax.numpy as jnp
+    from mdt_policy_tpu.models.clip import CLIPResNetTower
+    from mdt_policy_tpu.utils.torch_port import port_clip_resnet
+
+    torch.manual_seed(1)
+    layers, width, res, embed = (2, 1, 1, 2), 16, 64, 32
+    ref = ref_clip(embed_dim=embed, image_resolution=res,
+                   vision_layers=layers, vision_width=width,
+                   vision_patch_size=None, context_length=12, vocab_size=100,
+                   transformer_width=64, transformer_heads=1,
+                   transformer_layers=1)
+    ref = ref.float().eval()
+    # perturb BN running stats away from the (0, 1) init so the port of
+    # running_mean/running_var is actually exercised
+    with torch.no_grad():
+        for m in ref.visual.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.8, 1.2)
+
+    rng = np.random.default_rng(1)
+    images = rng.normal(size=(2, res, res, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_img = ref.encode_image(
+            torch.tensor(images).permute(0, 3, 1, 2)).numpy()
+
+    tower = CLIPResNetTower(embed_dim=embed, layers=layers, width=width,
+                            image_resolution=res)
+    params = port_clip_resnet(ref.state_dict(), layers=layers)
+    our_img = np.asarray(tower.apply({"params": params}, jnp.asarray(images)))
+    np.testing.assert_allclose(our_img, ref_img, rtol=1e-3, atol=1e-4)
+
+    # the port must land on the tower's own init tree (same paths/shapes)
+    import jax
+    init = tower.init(jax.random.PRNGKey(0), jnp.asarray(images))["params"]
+    flat_i = jax.tree_util.tree_leaves_with_path(init)
+    flat_p = jax.tree_util.tree_leaves_with_path(params)
+    assert {jax.tree_util.keystr(k) for k, _ in flat_i} \
+        == {jax.tree_util.keystr(k) for k, _ in flat_p}
+
+
+def test_clip_config_from_state_dict(ref_clip):
+    """Checkpoint-shape-derived tower config — the reference's build_model
+    derivation (clip.py:467-495) for both tower families."""
+    import torch
+    from mdt_policy_tpu.models.clip import clip_config_from_state_dict
+
+    torch.manual_seed(2)
+    rn = ref_clip(embed_dim=32, image_resolution=64,
+                  vision_layers=(2, 1, 1, 2), vision_width=16,
+                  vision_patch_size=None, context_length=12, vocab_size=100,
+                  transformer_width=64, transformer_heads=1,
+                  transformer_layers=2)
+    cfg = clip_config_from_state_dict(
+        {k: v.numpy() for k, v in rn.state_dict().items()})
+    assert cfg["vision_layers"] == (2, 1, 1, 2)
+    assert cfg["vision_width"] == 16
+    assert cfg["vision_patch_size"] is None
+    assert cfg["image_resolution"] == 64
+    assert cfg["embed_dim"] == 32
+    assert cfg["transformer_width"] == 64 and cfg["transformer_layers"] == 2
+
+    vit = ref_clip(embed_dim=32, image_resolution=32, vision_layers=2,
+                   vision_width=64, vision_patch_size=16, context_length=12,
+                   vocab_size=100, transformer_width=32, transformer_heads=4,
+                   transformer_layers=2)
+    cfg = clip_config_from_state_dict(
+        {k: v.numpy() for k, v in vit.state_dict().items()})
+    assert cfg["vision_layers"] == 2 and cfg["vision_patch_size"] == 16
+    assert cfg["image_resolution"] == 32 and cfg["vision_width"] == 64

@@ -106,7 +106,33 @@ def test_factored_kv_attention_matches_sdpa():
         params = a.init(jax.random.PRNGKey(0), jnp.asarray(x_f))["params"]
         params_b = b.init(jax.random.PRNGKey(0), jnp.asarray(x_f))["params"]
         assert jax.tree.map(jnp.shape, params) == jax.tree.map(jnp.shape, params_b)
+        # checkpoint-layout compat is VALUE-identical init, not just shapes:
+        # a future divergence must fail here with a clear message (ADVICE r3)
+        jax.tree.map(np.testing.assert_allclose, params, params_b)
         ya = a.apply({"params": params}, jnp.asarray(x_f))
         yb = b.apply({"params": params}, jnp.asarray(x_f))
         np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
                                    rtol=tol, atol=tol)
+
+
+def test_factored_layer_unprenormed_matches_dense():
+    """Direct PerceiverAttentionLayer parity for factored=True WITHOUT the
+    prenormed-media fast path (the resampler always prenorms, so this entry
+    point is only reachable by external users — ADVICE r3 flagged it as
+    shipping unverified)."""
+    import jax
+    import jax.numpy as jnp
+    from mdt_policy_tpu.models.perceiver import PerceiverAttentionLayer
+
+    rng = np.random.default_rng(2)
+    feats = jnp.asarray(rng.normal(size=(2, 19, 32)).astype(np.float32))
+    lats = jnp.asarray(rng.normal(size=(2, 3, 32)).astype(np.float32))
+    a = PerceiverAttentionLayer(dim=32, dim_head=8, heads=4)
+    b = PerceiverAttentionLayer(dim=32, dim_head=8, heads=4, factored=True)
+    params = a.init(jax.random.PRNGKey(0), feats, lats)["params"]
+    params_b = b.init(jax.random.PRNGKey(0), feats, lats)["params"]
+    jax.tree.map(np.testing.assert_allclose, params, params_b)
+    ya = a.apply({"params": params}, feats, lats, features_prenormed=False)
+    yb = b.apply({"params": params}, feats, lats, features_prenormed=False)
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                               rtol=1e-4, atol=1e-5)
