@@ -5,6 +5,15 @@ full dual-modality train step (diffusion + masked-foresight + contrastive
 losses, frozen CLIP/Voltron towers in-program) on production shapes:
 224px dual-camera frames, 112px gen targets, 10x7 action chunks.
 
+STRUCTURE (round 4): every bench mode runs in its OWN subprocess, launched
+sequentially by the orchestrator in this file. Round 3's single-process run
+OOM'd on the chip after the full-step bench (the full-step state/batch/
+executables still held HBM when the cache-mode bench initialized) and the
+poisoned process then failed every later bench too — three modes reported
+null. A fresh process per mode releases the chip completely between modes
+and turns any one failure into a single null instead of a cascade. Modes
+never run concurrently (the TPU tunnel serializes).
+
 MEASUREMENT INTEGRITY (docs/BENCHMARKING.md): on this container's remote
 TPU tunnel `jax.block_until_ready` is NOT a reliable execution barrier —
 loops ending in it report step times far beyond the chip's peak-FLOP bound
@@ -20,9 +29,12 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 from functools import partial
 
@@ -30,34 +42,160 @@ import numpy as np
 
 V5E_PEAK_FLOPS = 197e12  # bf16, one v5e chip
 
+# (name, timeout_s) — sequential order. Timeouts are generous because a
+# cold persistent-compile-cache run pays minutes of XLA compile per mode.
+SECTIONS = (
+    ("full", 2400),
+    ("precomputed", 1500),
+    ("denoiser", 1200),
+    ("mdt", 1500),
+    ("disk", 1200),
+)
 
-def main():
+
+# --------------------------------------------------------------------------
+# orchestrator
+# --------------------------------------------------------------------------
+
+def orchestrate(B: int) -> None:
+    """Run every bench section in its own subprocess, then assemble and
+    print the single driver-facing JSON line. The orchestrator itself never
+    initializes a JAX backend."""
+    results: dict[str, dict] = {}
+    t_start = time.perf_counter()
+    for name, timeout_s in SECTIONS:
+        if name == "mdt" and os.environ.get("MDT_BENCH_SKIP_MDT") == "1":
+            continue
+        if name == "disk" and os.environ.get("MDT_BENCH_SKIP_DISK") == "1":
+            continue
+        out_path = os.path.join(tempfile.gettempdir(), f"mdt_bench_{name}.json")
+        try:
+            os.unlink(out_path)
+        except OSError:
+            pass
+        env = dict(os.environ)
+        if name == "disk":
+            # loader benches are host-only: never touch the TPU tunnel
+            env["JAX_PLATFORMS"] = "cpu"
+        print(f"[bench] section {name} ...", file=sys.stderr, flush=True)
+        t0 = time.perf_counter()
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--section", name, "--out", out_path, str(B)],
+                timeout=timeout_s, env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            rc = proc.returncode
+        except subprocess.TimeoutExpired:
+            rc = "timeout"
+        dt = time.perf_counter() - t0
+        if os.path.exists(out_path):
+            try:
+                with open(out_path) as f:
+                    results[name] = json.load(f)
+            except Exception as e:
+                print(f"[bench] section {name}: unreadable result ({e})",
+                      file=sys.stderr)
+        if name not in results:
+            print(f"[bench] section {name} FAILED (rc={rc}, {dt:.0f}s) — "
+                  f"its metrics will be null", file=sys.stderr)
+        else:
+            print(f"[bench] section {name} done in {dt:.0f}s",
+                  file=sys.stderr)
+
+    full = results.get("full", {})
+    pre = results.get("precomputed", {})
+    den = results.get("denoiser", {})
+    mdt = results.get("mdt", {})
+    disk_res = results.get("disk", {})
+    disk = disk_res.get("disk")
+    chunks_per_sec = full.get("chunks_per_sec") or 0.0
+
+    print(json.dumps({
+        "metric": "mdtv_train_chunks_per_sec_per_chip",
+        "value": round(chunks_per_sec, 1),
+        "unit": "chunks/s/chip",
+        "vs_baseline": round(chunks_per_sec / 5000.0, 3),
+        "extras": {
+            "barrier": "device_get(param leaf) — see docs/BENCHMARKING.md",
+            "flops_per_step_tflop": full.get("flops_tflop"),
+            "pallas_attention_tflop": full.get("pallas_tflop"),
+            "mxu_utilization_pct": full.get("mxu_pct"),
+            "physical_ceiling_chunks_per_sec": full.get("ceiling"),
+            "ddim10_closed_loop_p50_ms": full.get("p50_ms"),
+            "ddim10_device_side_ms": full.get("device_ms"),
+            # median round trip of fetching ONE scalar from a trivial jitted
+            # program — the tunnel's latency floor that bounds p50 from below
+            # on this host (a co-located deployment pays device_ms instead)
+            "tunnel_rtt_floor_ms": full.get("rtt_floor_ms"),
+            "denoiser_only_chunks_per_sec": den.get("chunks_per_sec"),
+            # full step (all 3 losses) from the offline embedding cache —
+            # the data.use_extracted_embeddings training mode
+            "precomputed_embeddings_chunks_per_sec": pre.get("chunks_per_sec"),
+            "precomputed_embeddings_tflop_per_step": pre.get("tflop"),
+            "mdt_resnet_chunks_per_sec": mdt.get("chunks_per_sec"),
+            "disk_loader_chunks_per_sec":
+                round(disk["chunks_per_sec"], 1) if disk else None,
+            "disk_loader_workers": disk["num_workers"] if disk else None,
+            # shard-process scaling model: CPU-ms per chunk under concurrent
+            # N-shard load and the implied aggregate at k dedicated cores
+            "disk_loader_scaling": disk_res.get("scaling"),
+            # per-section compile+first-run seconds: with the persistent
+            # compile cache warm (same program already built on this host)
+            # these drop from minutes to seconds — docs/BENCHMARKING.md
+            "compile_first_run_s": {
+                k: results[k].get("compile_s")
+                for k in ("full", "precomputed", "denoiser", "mdt")
+                if k in results and results[k].get("compile_s") is not None
+            },
+            "wall_time_s": round(time.perf_counter() - t_start, 1),
+        },
+    }))
+
+
+# --------------------------------------------------------------------------
+# shared helpers (run inside section subprocesses)
+# --------------------------------------------------------------------------
+
+def _make_batch(B, rng, cfg=None):
+    import jax.numpy as jnp
+    # camera frames in bf16 (the preprocessing stage's output dtype);
+    # f32 frames alone would blow HBM at production batch sizes
+    def scope():
+        return {
+            "rgb_static": jnp.asarray(rng.uniform(size=(B, 2, 224, 224, 3)), jnp.bfloat16),
+            "rgb_gripper": jnp.asarray(rng.uniform(size=(B, 2, 224, 224, 3)), jnp.bfloat16),
+            "gen_static": jnp.asarray(rng.uniform(size=(B, 112, 112, 3)), jnp.float32),
+            "gen_gripper": jnp.asarray(rng.uniform(size=(B, 112, 112, 3)), jnp.float32),
+            "actions": jnp.asarray(rng.normal(size=(B, 10, 7)), jnp.float32),
+            "lang_tokens": jnp.asarray(rng.integers(1, 49408, size=(B, 77)), jnp.int32),
+        }
+    return {"vis": scope(), "lang": scope()}
+
+
+def _cost_flops(jitted, *args):
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        return float(cost.get("flops")) if cost and cost.get("flops") else None
+    except Exception as e:
+        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+        return None
+
+
+# --------------------------------------------------------------------------
+# section: full — headline in-program-tower step + closed-loop latency
+# --------------------------------------------------------------------------
+
+def section_full(B: int) -> dict:
     import jax
-    from mdt_policy_tpu.utils.misc import enable_compile_cache
-    enable_compile_cache()
     import jax.numpy as jnp
     from mdt_policy_tpu.agents import MDTVConfig, init_agent, train_step
     from mdt_policy_tpu.agents.mdtv_agent import denoise_actions
 
     cfg = MDTVConfig()
     rng = np.random.default_rng(0)
-
-    def make_batch(B):
-        # camera frames in bf16 (the preprocessing stage's output dtype);
-        # f32 frames alone would blow HBM at production batch sizes
-        def scope():
-            return {
-                "rgb_static": jnp.asarray(rng.uniform(size=(B, 2, 224, 224, 3)), jnp.bfloat16),
-                "rgb_gripper": jnp.asarray(rng.uniform(size=(B, 2, 224, 224, 3)), jnp.bfloat16),
-                "gen_static": jnp.asarray(rng.uniform(size=(B, 112, 112, 3)), jnp.float32),
-                "gen_gripper": jnp.asarray(rng.uniform(size=(B, 112, 112, 3)), jnp.float32),
-                "actions": jnp.asarray(rng.normal(size=(B, 10, 7)), jnp.float32),
-                "lang_tokens": jnp.asarray(rng.integers(1, 49408, size=(B, 77)), jnp.int32),
-            }
-        return {"vis": scope(), "lang": scope()}
-
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-    batch = make_batch(B)
+    batch = _make_batch(B, rng)
     print(f"init (B={B} per modality) ...", file=sys.stderr)
     net, state = init_agent(cfg, jax.random.PRNGKey(0), batch["lang"])
 
@@ -73,23 +211,18 @@ def main():
     # pallas_call as an opaque zero-flop custom call, so the fused tower-
     # attention kernels' matmuls are added analytically (utils/flops.py) to
     # make the utilization and ceiling figures exact.
-    flops = pallas_flops = None
-    try:
-        cost = jitted.lower(state, batch, key).compile().cost_analysis()
-        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-        flops = float(cost.get("flops")) if cost and cost.get("flops") else None
-        if flops:
-            from mdt_policy_tpu.utils.flops import tower_custom_call_flops
-            pallas_flops = tower_custom_call_flops(cfg, B)
-            flops += pallas_flops
-    except Exception as e:
-        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+    flops = _cost_flops(jitted, state, batch, key)
+    pallas_flops = None
+    if flops:
+        from mdt_policy_tpu.utils.flops import tower_custom_call_flops
+        pallas_flops = tower_custom_call_flops(cfg, B)
+        flops += pallas_flops
 
     t0 = time.perf_counter()
     state, metrics = jitted(state, batch, key)
     drain(state)
-    print(f"train-step compile+first-run: {time.perf_counter() - t0:.1f}s",
-          file=sys.stderr)
+    compile_s = time.perf_counter() - t0
+    print(f"train-step compile+first-run: {compile_s:.1f}s", file=sys.stderr)
 
     # best-of-2 drained mini-loops: guards against transient tunnel stalls
     # (the same program has measured 1.1 s and >60 s per step minutes apart)
@@ -113,8 +246,26 @@ def main():
         print("WARNING: implied utilization exceeds chip peak — measurement "
               "invalid (broken barrier?)", file=sys.stderr)
 
+    # --- tunnel RTT floor: median fetch time of ONE scalar from a trivial
+    # jitted program — the per-call latency the tunnel imposes on ANY
+    # closed-loop number measured from this host ---
+    tiny = jax.jit(lambda x: x + 1.0)
+    acc = tiny(jnp.float32(0.0))
+    for _ in range(5):  # warm the path
+        acc = tiny(acc)
+        np.asarray(acc)
+    rtts = []
+    for _ in range(40):
+        t0 = time.perf_counter()
+        acc = tiny(acc)
+        np.asarray(acc)
+        rtts.append(time.perf_counter() - t0)
+    rtt_floor_ms = float(np.median(rtts)) * 1e3
+    print(f"tunnel RTT floor (1-scalar fetch): {rtt_floor_ms:.2f} ms",
+          file=sys.stderr)
+
     # --- secondary: 10-step DDIM closed-loop latency, batch 1, REAL fetch ---
-    b1 = make_batch(1)["lang"]
+    b1 = _make_batch(1, rng)["lang"]
 
     @jax.jit
     def sample(params, rs, rg, toks, k, carry):
@@ -130,15 +281,18 @@ def main():
     args = (state.params, b1["rgb_static"][:, :-1], b1["rgb_gripper"][:, :-1],
             b1["lang_tokens"])
     zero = jnp.zeros((1, 10, 7))
-    np.asarray(sample(*args, jax.random.PRNGKey(0), zero))
+    # warm: compile + settle the tunnel before any timed rep
+    for i in range(5):
+        np.asarray(sample(*args, jax.random.PRNGKey(i), zero))
     lat = []
-    for i in range(20):
+    for i in range(50):
         t0 = time.perf_counter()
         np.asarray(sample(*args, jax.random.PRNGKey(i), zero))  # fetch chunk
         lat.append(time.perf_counter() - t0)
     p50 = float(np.median(lat)) * 1e3
     print(f"10-step DDIM closed-loop p50 (incl. D2H fetch): {p50:.1f} ms "
-          f"(target < 30 ms; tunnel RTT-bound here)", file=sys.stderr)
+          f"(target < 30 ms; tunnel RTT floor {rtt_floor_ms:.1f} ms here)",
+          file=sys.stderr)
 
     # device-side re-plan latency without the per-call tunnel round trip:
     # chain each sample on the previous chunk (data dependency inside the
@@ -157,128 +311,35 @@ def main():
     print(f"10-step DDIM device-side latency (chained, no per-call RTT): "
           f"{device_ms:.2f} ms", file=sys.stderr)
 
-    # --- FULL train step from the offline embedding cache
-    # (data.use_extracted_embeddings): all three losses, perceiver + text
-    # tower + denoiser + foresight decoder trainable path — only the frozen
-    # camera towers are gone (their outputs cached offline). Runs BEFORE the
-    # denoiser-only bench, which donates state.params['inner'] ---
-    precomp_cps = precomp_tflop = None
-    try:
-        precomp_cps, precomp_tflop, state = _precomputed_bench(net, cfg, state, B)
-        print(f"precomputed-embeddings full train step: {precomp_cps:.0f} "
-              f"chunks/s ({precomp_tflop:.1f} TFLOP/step)", file=sys.stderr)
-    except Exception as e:
-        print(f"precomputed-embeddings bench skipped: {e}", file=sys.stderr)
-
-    # --- denoiser-only trainable step (precomputed embeddings): the
-    # action-chunk learner itself, without the frozen towers ---
-    denoiser_cps = None
-    try:
-        denoiser_cps = _denoiser_only_bench(cfg, state.params["inner"], B=512)
-        print(f"denoiser-only train step: {denoiser_cps:.0f} chunks/s",
-              file=sys.stderr)
-    except Exception as e:
-        print(f"denoiser-only bench skipped: {e}", file=sys.stderr)
-
-    # --- the MDT (non-V) family: ResNet18-GN cameras, 512-d denoiser ---
-    mdt_cps = None
-    if os.environ.get("MDT_BENCH_SKIP_MDT") != "1":
-        try:
-            # free the MDT-V model/optimizer/batch HBM first — both
-            # families at production size do not fit the 16 G chip together
-            import gc
-            del state, batch, b1, args, out, jitted, sample
-            gc.collect()
-            mdt_cps = _mdt_bench(make_batch, B=256)
-            print(f"MDT (ResNet) full train step: {mdt_cps:.0f} chunks/s",
-                  file=sys.stderr)
-        except Exception as e:
-            print(f"MDT bench skipped: {e}", file=sys.stderr)
-
-    # --- disk-backed input-pipeline throughput (VERDICT r1 #4) + multi-core
-    # scaling model (VERDICT r2 #4: CPU-seconds/chunk per shard process under
-    # concurrent load -> aggregate at k dedicated cores) ---
-    disk = scaling = None
-    if os.environ.get("MDT_BENCH_SKIP_DISK") != "1":
-        try:
-            import shutil
-            import tempfile
-            from pathlib import Path
-            from mdt_policy_tpu.data.bench_loader import (
-                bench as loader_bench, generate_dataset, scaling_bench)
-            from mdt_policy_tpu.data.extract import extract_by_key, extract_frames
-            tmp = tempfile.mkdtemp(prefix="mdt_bench_disk_")
-            root = generate_dataset(Path(tmp), 1500)
-            extract_by_key(root)
-            extract_frames(root)
-            disk = loader_bench(root, batch_size=128, steps=40)
-            print(f"disk input pipeline: {disk['chunks_per_sec']:.0f} chunks/s "
-                  f"({disk['num_workers']} worker(s))", file=sys.stderr)
-            try:
-                scaling = [scaling_bench(root, n, steps=12) for n in (2, 4)]
-                for s in scaling:
-                    print(f"loader scaling x{s['num_shards']} shards: "
-                          f"{s['cpu_ms_per_chunk']:.3f} CPU-ms/chunk -> "
-                          f"{s['agg_at_cores'][2]} chunks/s at 2 dedicated "
-                          f"cores", file=sys.stderr)
-            except Exception as e:
-                print(f"loader scaling bench skipped: {e}", file=sys.stderr)
-            shutil.rmtree(tmp, ignore_errors=True)
-        except Exception as e:  # bench must never fail on the aux metric
-            print(f"disk loader bench skipped: {e}", file=sys.stderr)
-
-    print(json.dumps({
-        "metric": "mdtv_train_chunks_per_sec_per_chip",
-        "value": round(chunks_per_sec, 1),
-        "unit": "chunks/s/chip",
-        "vs_baseline": round(chunks_per_sec / 5000.0, 3),
-        "extras": {
-            "barrier": "device_get(param leaf) — see docs/BENCHMARKING.md",
-            "flops_per_step_tflop": round(flops / 1e12, 2) if flops else None,
-            "pallas_attention_tflop":
-                round(pallas_flops / 1e12, 2) if pallas_flops else None,
-            "mxu_utilization_pct": round(mxu_pct, 1) if mxu_pct else None,
-            "physical_ceiling_chunks_per_sec":
-                round(2 * B * V5E_PEAK_FLOPS / flops, 0) if flops else None,
-            "ddim10_closed_loop_p50_ms": round(p50, 2),
-            "ddim10_device_side_ms": round(device_ms, 2),
-            "denoiser_only_chunks_per_sec":
-                round(denoiser_cps, 1) if denoiser_cps else None,
-            # full step (all 3 losses) from the offline embedding cache —
-            # the data.use_extracted_embeddings training mode
-            "precomputed_embeddings_chunks_per_sec":
-                round(precomp_cps, 1) if precomp_cps else None,
-            "precomputed_embeddings_tflop_per_step":
-                round(precomp_tflop, 2) if precomp_tflop else None,
-            "mdt_resnet_chunks_per_sec":
-                round(mdt_cps, 1) if mdt_cps else None,
-            "disk_loader_chunks_per_sec":
-                round(disk["chunks_per_sec"], 1) if disk else None,
-            "disk_loader_workers": disk["num_workers"] if disk else None,
-            # shard-process scaling model: CPU-ms per chunk under concurrent
-            # N-shard load and the implied aggregate at k dedicated cores
-            "disk_loader_scaling": scaling,
-        },
-    }))
+    return {
+        "chunks_per_sec": round(chunks_per_sec, 1),
+        "flops_tflop": round(flops / 1e12, 2) if flops else None,
+        "pallas_tflop": round(pallas_flops / 1e12, 2) if pallas_flops else None,
+        "mxu_pct": round(mxu_pct, 1) if mxu_pct else None,
+        "ceiling": round(2 * B * V5E_PEAK_FLOPS / flops, 0) if flops else None,
+        "p50_ms": round(p50, 2),
+        "device_ms": round(device_ms, 2),
+        "rtt_floor_ms": round(rtt_floor_ms, 2),
+        "compile_s": round(compile_s, 1),
+    }
 
 
-def _precomputed_bench(net, cfg, state, B: int):
+# --------------------------------------------------------------------------
+# section: precomputed — FULL train step from the offline embedding cache
+# --------------------------------------------------------------------------
+
+def section_precomputed(B: int) -> dict:
     """Full dual-modality train_step over precomputed frozen-tower batches
     (voltron_tokens + image_latent_goal + lang_latent_goal instead of camera
     frames/text through towers — the data/extract_embeddings.py training
-    mode). Uses the mode's production config (remat_perceiver off, as
-    training.py defaults it — same param tree, numerics-identical). Returns
-    (chunks/s, TFLOP/step, final state)."""
-    import dataclasses
-
+    mode). Uses the mode's production config exactly as training.py defaults
+    it for data.use_extracted_embeddings."""
     import jax
     import jax.numpy as jnp
-    from mdt_policy_tpu.agents import train_step
-    from mdt_policy_tpu.agents.mdtv_agent import MDTVAgentNet
+    from mdt_policy_tpu.agents import init_agent, train_step
+    from mdt_policy_tpu.training import cache_mode_config
 
-    net = MDTVAgentNet(dataclasses.replace(cfg, remat_perceiver=False,
-                                           gen_compute_dtype="bfloat16"))
-
+    cfg = cache_mode_config()
     rng = np.random.default_rng(2)
     n_tok = 2 * (cfg.img_size // cfg.vit_patch) ** 2
 
@@ -299,17 +360,16 @@ def _precomputed_bench(net, cfg, state, B: int):
     batch = {"vis": scope(),
              "lang": {**scope(), "lang_latent_goal": jnp.asarray(
                  rng.normal(size=(B, cfg.clip_embed_dim)), jnp.float32)}}
+    print(f"init cache-mode (B={B} per modality) ...", file=sys.stderr)
+    net, state = init_agent(cfg, jax.random.PRNGKey(0), batch["lang"])
     jitted = jax.jit(partial(train_step, net), donate_argnums=(0,))
     key = jax.random.PRNGKey(5)
-    flops = None
-    try:
-        cost = jitted.lower(state, batch, key).compile().cost_analysis()
-        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-        flops = float(cost.get("flops")) if cost and cost.get("flops") else None
-    except Exception:
-        pass
+    flops = _cost_flops(jitted, state, batch, key)
+    t0 = time.perf_counter()
     state, _ = jitted(state, batch, key)
     np.asarray(state.params["inner"]["tok_emb"]["kernel"][0, 0])
+    compile_s = time.perf_counter() - t0
+    print(f"cache-mode compile+first-run: {compile_s:.1f}s", file=sys.stderr)
     dts = []
     for rep in range(2):
         t0 = time.perf_counter()
@@ -317,34 +377,21 @@ def _precomputed_bench(net, cfg, state, B: int):
             state, _ = jitted(state, batch, jax.random.fold_in(key, rep * 6 + i))
         np.asarray(state.params["inner"]["tok_emb"]["kernel"][0, 0])
         dts.append((time.perf_counter() - t0) / 6)
-    return 2 * B / min(dts), (flops / 1e12 if flops else None), state
+    cps = 2 * B / min(dts)
+    print(f"precomputed-embeddings full train step: {cps:.0f} chunks/s "
+          + (f"({flops/1e12:.1f} TFLOP/step)" if flops else ""), file=sys.stderr)
+    return {
+        "chunks_per_sec": round(cps, 1),
+        "tflop": round(flops / 1e12, 2) if flops else None,
+        "compile_s": round(compile_s, 1),
+    }
 
 
-def _mdt_bench(make_batch, B: int = 256) -> float:
-    """Full dual-modality train step of the MDT variant (trainable
-    ResNet18-GN per-camera encoders + frozen CLIP goal towers + 512-d
-    4/6-layer denoiser — the reference's second model family)."""
-    import jax
-    from mdt_policy_tpu.agents import MDTConfig, init_mdt_agent, train_step
+# --------------------------------------------------------------------------
+# section: denoiser — denoiser-only trainable step
+# --------------------------------------------------------------------------
 
-    batch = make_batch(B)
-    net, state = init_mdt_agent(MDTConfig(), jax.random.PRNGKey(0),
-                                batch["lang"])
-    jitted = jax.jit(partial(train_step, net), donate_argnums=(0,))
-    key = jax.random.PRNGKey(3)
-    state, _ = jitted(state, batch, key)
-    np.asarray(state.params["inner"]["tok_emb"]["kernel"][0, 0])
-    dts = []
-    for rep in range(2):
-        t0 = time.perf_counter()
-        for i in range(4):
-            state, _ = jitted(state, batch, jax.random.fold_in(key, rep * 4 + i))
-        np.asarray(state.params["inner"]["tok_emb"]["kernel"][0, 0])
-        dts.append((time.perf_counter() - t0) / 4)
-    return 2 * B / min(dts)
-
-
-def _denoiser_only_bench(cfg, inner_params, B: int = 512) -> float:
+def section_denoiser(B: int = 512) -> dict:
     """Train-step throughput of the trainable denoiser alone on precomputed
     perceiver/goal embeddings (the regime the >=5k chunks/s target is
     physically reachable in — the full step's frozen towers alone cost
@@ -352,10 +399,12 @@ def _denoiser_only_bench(cfg, inner_params, B: int = 512) -> float:
     import jax
     import jax.numpy as jnp
     import optax
+    from mdt_policy_tpu.agents import MDTVConfig
     from mdt_policy_tpu.diffusion import make_sample_density
     from mdt_policy_tpu.diffusion.precond import append_dims, get_scalings
     from mdt_policy_tpu.models.mdtv_transformer import MDTVTransformer
 
+    cfg = MDTVConfig()
     rng = np.random.default_rng(1)
     inner = MDTVTransformer(
         obs_dim=cfg.obs_dim, goal_dim=cfg.goal_dim, action_dim=cfg.action_dim,
@@ -370,6 +419,10 @@ def _denoiser_only_bench(cfg, inner_params, B: int = 512) -> float:
                                        jnp.float32)}
     goal = jnp.asarray(rng.normal(size=(B, 1, cfg.goal_dim)), jnp.float32)
     actions = jnp.asarray(rng.normal(size=(B, 10, 7)), jnp.float32)
+    inner_params = inner.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        emb, actions, goal, jnp.ones((B,)), modality="lang",
+        train=True)["params"]
     tx = optax.adamw(1e-4)
     opt_state = tx.init(inner_params)
     density = make_sample_density(cfg.sigma_sample_density_type, cfg.sigma_data,
@@ -395,14 +448,119 @@ def _denoiser_only_bench(cfg, inner_params, B: int = 512) -> float:
         return optax.apply_updates(params, updates), opt_state, loss
 
     jitted = jax.jit(step, donate_argnums=(0, 1))
+    t0 = time.perf_counter()
     params, opt_state, _ = jitted(inner_params, opt_state, key)
     np.asarray(params["tok_emb"]["kernel"])
+    compile_s = time.perf_counter() - t0
     n = 20
     t0 = time.perf_counter()
     for i in range(n):
         params, opt_state, _ = jitted(params, opt_state, jax.random.fold_in(key, i))
     np.asarray(params["tok_emb"]["kernel"])
-    return B / ((time.perf_counter() - t0) / n)
+    cps = B / ((time.perf_counter() - t0) / n)
+    print(f"denoiser-only train step: {cps:.0f} chunks/s", file=sys.stderr)
+    return {"chunks_per_sec": round(cps, 1), "compile_s": round(compile_s, 1)}
+
+
+# --------------------------------------------------------------------------
+# section: mdt — the MDT (non-V) family
+# --------------------------------------------------------------------------
+
+def section_mdt(B: int = 256) -> dict:
+    """Full dual-modality train step of the MDT variant (trainable
+    ResNet18-GN per-camera encoders + frozen CLIP goal towers + 512-d
+    4/6-layer denoiser — the reference's second model family)."""
+    import jax
+    from mdt_policy_tpu.agents import MDTConfig, init_mdt_agent, train_step
+
+    rng = np.random.default_rng(0)
+    batch = _make_batch(B, rng)
+    print(f"init MDT (B={B} per modality) ...", file=sys.stderr)
+    net, state = init_mdt_agent(MDTConfig(), jax.random.PRNGKey(0),
+                                batch["lang"])
+    jitted = jax.jit(partial(train_step, net), donate_argnums=(0,))
+    key = jax.random.PRNGKey(3)
+    t0 = time.perf_counter()
+    state, _ = jitted(state, batch, key)
+    np.asarray(state.params["inner"]["tok_emb"]["kernel"][0, 0])
+    compile_s = time.perf_counter() - t0
+    dts = []
+    for rep in range(2):
+        t0 = time.perf_counter()
+        for i in range(4):
+            state, _ = jitted(state, batch, jax.random.fold_in(key, rep * 4 + i))
+        np.asarray(state.params["inner"]["tok_emb"]["kernel"][0, 0])
+        dts.append((time.perf_counter() - t0) / 4)
+    cps = 2 * B / min(dts)
+    print(f"MDT (ResNet) full train step: {cps:.0f} chunks/s", file=sys.stderr)
+    return {"chunks_per_sec": round(cps, 1), "compile_s": round(compile_s, 1)}
+
+
+# --------------------------------------------------------------------------
+# section: disk — input-pipeline throughput + multi-core scaling model
+# --------------------------------------------------------------------------
+
+def section_disk(_B: int) -> dict:
+    import shutil
+    from pathlib import Path
+
+    import jax
+    try:  # host-only section: never let it open the TPU tunnel
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    from mdt_policy_tpu.data.bench_loader import (
+        bench as loader_bench, generate_dataset, scaling_bench)
+    from mdt_policy_tpu.data.extract import extract_by_key, extract_frames
+
+    tmp = tempfile.mkdtemp(prefix="mdt_bench_disk_")
+    root = generate_dataset(Path(tmp), 1500)
+    extract_by_key(root)
+    extract_frames(root)
+    disk = loader_bench(root, batch_size=128, steps=40)
+    print(f"disk input pipeline: {disk['chunks_per_sec']:.0f} chunks/s "
+          f"({disk['num_workers']} worker(s))", file=sys.stderr)
+    scaling = None
+    try:
+        scaling = [scaling_bench(root, n, steps=12) for n in (2, 4)]
+        for s in scaling:
+            print(f"loader scaling x{s['num_shards']} shards: "
+                  f"{s['cpu_ms_per_chunk']:.3f} CPU-ms/chunk -> "
+                  f"{s['agg_at_cores'][2]} chunks/s at 2 dedicated "
+                  f"cores", file=sys.stderr)
+    except Exception as e:
+        print(f"loader scaling bench skipped: {e}", file=sys.stderr)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {"disk": disk, "scaling": scaling}
+
+
+# --------------------------------------------------------------------------
+
+def run_section(name: str, out_path: str, B: int) -> None:
+    from mdt_policy_tpu.utils.misc import enable_compile_cache
+    enable_compile_cache()
+    fn = {
+        "full": section_full,
+        "precomputed": section_precomputed,
+        "denoiser": lambda B: section_denoiser(max(B, 512)),
+        "mdt": lambda B: section_mdt(min(B, 256)),
+        "disk": section_disk,
+    }[name]
+    result = fn(B)
+    with open(out_path, "w") as f:
+        json.dump(result, f)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--section", default=None, choices=[s for s, _ in SECTIONS])
+    p.add_argument("--out", default=None)
+    p.add_argument("B", nargs="?", type=int, default=512)
+    a = p.parse_args()
+    if a.section:
+        run_section(a.section, a.out or "/dev/stdout", a.B)
+    else:
+        orchestrate(a.B)
 
 
 if __name__ == "__main__":

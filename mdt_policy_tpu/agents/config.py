@@ -114,17 +114,17 @@ class MDTVConfig:
     # (full mode) and 304 -> 238 ms (cache mode) at B=512 (ROUND3_NOTES).
     # "float32" is the bit-parity escape hatch.
     gen_compute_dtype: str = "bfloat16"
-    # per-head minor-dim-sliced perceiver attention (no (B,T,H,D) layout
-    # copies — models/perceiver.py _head_slice_attention); identical math,
-    # measure with tools/ab_step.py
-    perceiver_head_slice: bool = False
     # factored perceiver cross-attention: fold W_k into the 24-row query
     # block and re-associate the V side so K/V over the 395-token media
     # never materialize (models/perceiver.py _factored_kv_attention) —
-    # ~7x fewer perceiver FLOPs and none of the (B,T,H,D) retile copies
-    # (~89 ms/step of the B=512 cache-mode step). Same math by matmul
-    # associativity (parity-tested); checkpoint layout unchanged.
-    perceiver_factored_kv: bool = False
+    # ~7x fewer perceiver FLOPs and none of the (B,T,H,D) retile copies.
+    # Same math by matmul associativity (parity-tested to 7.5e-7 f32);
+    # checkpoint layout unchanged. PRODUCTION DEFAULT — measured at
+    # B=512/modality on the v5e chip (tools/ab_step.py, fetch-barrier):
+    # full mode 762.6 -> 665.0 ms/step (1,343 -> 1,540 chunks/s/chip),
+    # cache mode 238.5 -> 140.2 ms/step (4,294 -> 7,305 chunks/s/chip).
+    # False is the exact-reference-lowering escape hatch.
+    perceiver_factored_kv: bool = True
     # training
     optimizer: OptimizerConfig = OptimizerConfig()
     lr_scheduler: LRSchedulerConfig = LRSchedulerConfig()
@@ -138,18 +138,6 @@ class MDTVConfig:
     # run both cameras through the frozen ViT as ONE batched call (numerically
     # identical: the same weights apply per-sample); halves kernel launches
     fuse_camera_batch: bool = True
-    # cross-SCOPE tower batching (one level above fuse_camera_batch): the
-    # train step runs the frozen towers ONCE over the concatenated
-    # {'vis','lang'} scopes — one Voltron call over 4BT camera frames, one
-    # CLIP-vision call over 2B goal frames — hoisted outside jax.grad
-    # (their outputs are stop_gradient constants of the loss). Same math
-    # (bit-parity-tested vs the per-scope path) but MEASURED SLIGHTLY SLOWER
-    # on-chip: 845.3 vs 826.8 ms/step at B=512, 410 vs 406 ms at B=256
-    # (tools/ab_step.py, fresh processes) — at these batches the tower
-    # matmuls already saturate the MXU, so halving dispatches buys nothing
-    # and the larger fused calls tile slightly worse. Default OFF; decision
-    # table in ROUND3_NOTES.md.
-    fuse_scope_towers: bool = False
     # Pallas fused qkv-attention in the frozen towers
     # (ops/fused_qkv_attention.py): "auto" = on for TPU backends, off
     # elsewhere; measured 1.5x on the Voltron tower (docs/PALLAS.md)
@@ -161,10 +149,29 @@ class MDTVConfig:
     # tower blocks). Default off (the unrolled layout is the checkpoint/
     # port layout; step-time impact measured via tools/ab_step.py).
     scan_tower_layers: bool = False
-    # MXU-stats norms in the frozen towers (ops/mxu_norm.py): measured a 3%
-    # END-TO-END REGRESSION (869.9 vs 843.9 ms/step, tools/ab_step.py;
-    # decision table in docs/PALLAS.md) despite the crawling norm reduce
-    # fusions in the trace (tools/trace_ops.py) — default off. Opt-in
-    # retained for re-measurement on other TPU generations; "auto" also
-    # resolves to off (exact flax lowering everywhere).
-    mxu_tower_norm: str = "auto"
+
+
+# Config fields of MEASURED-AND-REJECTED experiments, retired from the
+# production surface (VERDICT r3 weak #7). The experiment code + tests
+# remain (ops/mxu_norm.py, models/perceiver.py head_slice, tools/) and the
+# measurements live in docs/PALLAS.md + the round decision tables; old run
+# snapshots carrying these keys still re-hydrate (filter below):
+# - mxu_tower_norm: MXU-stat tower norms — 3% end-to-end regression
+# - perceiver_head_slice: minor-dim-sliced perceiver attention — 264 vs
+#   238.5 ms cache-mode step (and superseded by perceiver_factored_kv)
+# - fuse_scope_towers: cross-scope fused frozen towers — 845.3 vs 826.8
+#   ms/step (tower matmuls already MXU-saturated per scope)
+RETIRED_OVERRIDES = ("mxu_tower_norm", "perceiver_head_slice",
+                     "fuse_scope_towers")
+
+
+def filter_retired_overrides(overrides: dict) -> dict:
+    """Drop retired experiment keys from a run snapshot's agent_overrides
+    (with a log) so historical run dirs keep re-hydrating."""
+    import logging
+    retired = {k: v for k, v in overrides.items() if k in RETIRED_OVERRIDES}
+    if retired:
+        logging.getLogger(__name__).warning(
+            "dropping retired agent overrides %s (rejected experiments; "
+            "see agents/config.py RETIRED_OVERRIDES)", retired)
+    return {k: v for k, v in overrides.items() if k not in RETIRED_OVERRIDES}

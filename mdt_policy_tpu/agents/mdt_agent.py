@@ -62,9 +62,8 @@ class MDTAgentNet(nn.Module):
 
     def setup(self):
         c = self.cfg
-        from .mdtv_agent import resolve_fused_attention, resolve_mxu_norm
+        from .mdtv_agent import resolve_fused_attention
         fused_attn = resolve_fused_attention(c)
-        mxu_norm = resolve_mxu_norm(c)
         scan_layers = bool(getattr(c, "scan_tower_layers", False))
         self.static_resnet = BesoResNetEncoder(latent_dim=c.latent_dim,
                                                name="static_resnet")
@@ -74,12 +73,12 @@ class MDTAgentNet(nn.Module):
             embed_dim=c.clip_embed_dim, image_resolution=c.img_size,
             layers=c.clip_vision_layers, width=c.clip_vision_width,
             patch_size=c.clip_vision_patch, fused_attention=fused_attn,
-            mxu_norm=mxu_norm, scan_layers=scan_layers, name="visual_goal")
+            scan_layers=scan_layers, name="visual_goal")
         self.language_goal = CLIPTextTower(
             embed_dim=c.clip_embed_dim, context_length=c.clip_context_length,
             vocab_size=c.clip_vocab_size, width=c.clip_text_width,
             heads=c.clip_text_heads, layers=c.clip_text_layers,
-            fused_attention=fused_attn, mxu_norm=mxu_norm,
+            fused_attention=fused_attn,
             scan_layers=scan_layers, name="language_goal")
         self.inner = MDTTransformer(
             obs_dim=c.obs_dim, goal_dim=c.goal_dim, action_dim=c.action_dim,

@@ -70,19 +70,6 @@ def resolve_fused_attention(cfg) -> bool:
     return bool(flag)
 
 
-def resolve_mxu_norm(cfg) -> bool:
-    """Resolve the mxu_tower_norm tri-state ("auto"/True/False).
-
-    "auto" resolves to OFF: MXU-stat norms (ops/mxu_norm.py) measured a 3%
-    end-to-end regression on the v5e chip (tools/ab_step.py, decision table
-    in docs/PALLAS.md). True opts in for re-measurement on other
-    hardware."""
-    flag = getattr(cfg, "mxu_tower_norm", "auto")
-    if flag == "auto":
-        return False
-    return bool(flag)
-
-
 def split_params(params, frozen_prefixes=FROZEN_PREFIXES):
     """Partition the param tree into (trainable, frozen) top-level subtrees.
 
@@ -102,12 +89,11 @@ class MDTVAgentNet(nn.Module):
     def setup(self):
         c = self.cfg
         fused_attn = resolve_fused_attention(c)
-        mxu_norm = resolve_mxu_norm(c)
         scan_layers = bool(getattr(c, "scan_tower_layers", False))
         self.img_encoder = VoltronViT(
             patch_size=c.vit_patch, embed_dim=c.perceiver_dim, depth=c.vit_depth,
             n_heads=c.vit_heads, img_size=c.img_size,
-            fused_attention=fused_attn, mxu_norm=mxu_norm,
+            fused_attention=fused_attn,
             scan_layers=scan_layers, name="img_encoder")
         # remat: the perceiver's K/V activations over the 392-token voltron
         # grid dominate backward memory at production batch; recompute-in-
@@ -119,19 +105,18 @@ class MDTVAgentNet(nn.Module):
             heads=c.perceiver_heads, num_latents=c.num_latents,
             num_time_embeds=c.perceiver_num_time_embeds,
             dtype=jnp.dtype(c.compute_dtype),
-            head_slice=bool(getattr(c, "perceiver_head_slice", False)),
             factored=bool(getattr(c, "perceiver_factored_kv", False)),
             name="perceiver")
         self.visual_goal = CLIPVisionTower(
             embed_dim=c.clip_embed_dim, image_resolution=c.img_size,
             layers=c.clip_vision_layers, width=c.clip_vision_width,
             patch_size=c.clip_vision_patch, fused_attention=fused_attn,
-            mxu_norm=mxu_norm, scan_layers=scan_layers, name="visual_goal")
+            scan_layers=scan_layers, name="visual_goal")
         self.language_goal = CLIPTextTower(
             embed_dim=c.clip_embed_dim, context_length=c.clip_context_length,
             vocab_size=c.clip_vocab_size, width=c.clip_text_width,
             heads=c.clip_text_heads, layers=c.clip_text_layers,
-            fused_attention=fused_attn, mxu_norm=mxu_norm,
+            fused_attention=fused_attn,
             scan_layers=scan_layers, name="language_goal")
         self.inner = MDTVTransformer(
             obs_dim=c.obs_dim, goal_dim=c.goal_dim, action_dim=c.action_dim,
@@ -222,64 +207,6 @@ class MDTVAgentNet(nn.Module):
         return {"state_images": self.perceiver(
             vt.astype(jnp.dtype(self.cfg.compute_dtype)))}
 
-    def frozen_towers(self, batch: Dict[str, Batch]) -> Dict[str, Dict[str, jax.Array]]:
-        """Cross-scope fused frozen-tower forward (cfg.fuse_scope_towers).
-
-        Runs ONE Voltron call over every camera frame of every modality
-        scope (static+gripper x vis+lang = 4BT images) and ONE CLIP-vision
-        call over both scopes' goal frames (2B) — the same
-        batch-the-identical-weights trick as `fuse_camera_batch`, one level
-        up (VERDICT r2 perf lever b; ref runs the towers per scope,
-        mdt/models/mdtv_agent.py:360-403). All outputs are stop_gradient
-        constants, so `train_step` calls this OUTSIDE jax.grad.
-
-        Returns per scope: voltron_tokens (B, 1, 2N, D) ready for the
-        perceiver, image_latent_goal (B, E) f32, and lang_latent_goal for
-        scopes carrying lang_tokens."""
-        c = self.cfg
-        cdt = jnp.dtype(c.compute_dtype)
-        scopes = tuple(sorted(batch.keys()))
-
-        vit_in, shapes = [], []
-        for s in scopes:
-            rgb_static = batch[s]["rgb_static"][:, :-1]
-            rgb_gripper = batch[s]["rgb_gripper"][:, :-1]
-            B, T = rgb_static.shape[:2]
-            shapes.append((B, T))
-            vit_in.append(self._to_vit_size(
-                rgb_static.reshape((B * T,) + rgb_static.shape[2:])))
-            vit_in.append(self._to_vit_size(
-                rgb_gripper.reshape((B * T,) + rgb_gripper.shape[2:])))
-        tokens = self.img_encoder(jnp.concatenate(vit_in, axis=0).astype(cdt))
-        if c.freeze_img_encoder:
-            tokens = jax.lax.stop_gradient(tokens)
-        cam_tokens = jnp.split(tokens, 2 * len(scopes), axis=0)
-
-        goal_frames = jnp.concatenate(
-            [self._to_vit_size(batch[s]["rgb_static"][:, -1]) for s in scopes],
-            axis=0)
-        img_goals = jnp.split(
-            jax.lax.stop_gradient(
-                self.visual_goal(goal_frames.astype(cdt)).astype(jnp.float32)),
-            len(scopes), axis=0)
-
-        out: Dict[str, Dict[str, jax.Array]] = {}
-        for i, s in enumerate(scopes):
-            static_tokens, gripper_tokens = cam_tokens[2 * i], cam_tokens[2 * i + 1]
-            towers = {
-                # (B*T, 2N, D) -> (B, 1, 2N, D): T==obs_seq_len==1 in
-                # production; the perceiver consumes the 2-camera grid as
-                # one time step (compute_voltron_embeddings layout)
-                "voltron_tokens": jnp.concatenate(
-                    [static_tokens, gripper_tokens], axis=1)[:, None],
-                "image_latent_goal": img_goals[i],
-            }
-            if "lang_tokens" in batch[s]:
-                towers["lang_latent_goal"] = self.encode_language_goal(
-                    batch[s]["lang_tokens"])
-            out[s] = towers
-        return out
-
     def encode_visual_goal(self, goal_image):
         """Frozen CLIP ViT-B/16 image embed (ref vision_clip.py:33-47);
         input already CLIP-normalized."""
@@ -310,24 +237,22 @@ class MDTVAgentNet(nn.Module):
 
     # ---- losses (one modality scope) ------------------------------------------
 
-    def __call__(self, batch: Batch, *, modality: str, train: bool = True,
-                 towers: Optional[Dict[str, jax.Array]] = None):
+    def __call__(self, batch: Batch, *, modality: str, train: bool = True):
         """Per-scope losses (ref training_step body, mdtv_agent.py:246-288).
 
         batch keys: rgb_static/rgb_gripper (B, T+1, H, W, 3) — last frame is
         the goal frame; gen_static/gen_gripper (B, h, w, 3); actions (B, W, A);
-        lang_tokens (B, 77) (used when modality == 'lang').
-        `towers`: this scope's precomputed frozen-tower outputs (one entry of
-        `frozen_towers`) — the cross-scope fused path; None recomputes the
-        towers inline (identical math).
+        lang_tokens (B, 77) (used when modality == 'lang'). A batch carrying
+        voltron_tokens/image_latent_goal instead of camera frames is an
+        offline-embedding-cache batch (data/extract_embeddings.py).
         Returns dict(action_loss, img_gen_loss, cont_loss, total_loss).
         """
         c = self.cfg
         actions = batch["actions"]
         B = actions.shape[0]
 
-        if towers is None and "voltron_tokens" in batch \
-                and "image_latent_goal" in batch:
+        towers = None
+        if "voltron_tokens" in batch and "image_latent_goal" in batch:
             # precomputed frozen-tower batch keys (the offline embedding
             # cache, data/extract_embeddings.py — the reference's
             # extract_by_key idiom applied to the frozen towers): the camera
@@ -491,24 +416,9 @@ def train_step(net, state: TrainState, batch: Dict[str, Batch],
 
     Gradients are taken w.r.t. the trainable subtree only; frozen towers are
     constants of the loss (no zero-grad materialization, ~5x less
-    optimizer/EMA HBM traffic). With cfg.fuse_scope_towers the frozen towers
-    run ONCE over the concatenated scopes, outside jax.grad."""
+    optimizer/EMA HBM traffic)."""
     scopes = tuple(sorted(batch.keys()))
     trainable, frozen = split_params(state.params, net.frozen_prefixes)
-
-    towers = None
-    precomputed = all("voltron_tokens" in batch[s] and "image_latent_goal"
-                      in batch[s] for s in scopes)
-    # hoisting the towers outside jax.grad is only sound when they're all
-    # actually frozen (constants of the loss); that's the production config.
-    # With precomputed embedding keys in the batch there are no tower calls
-    # to fuse — each scope's __call__ reads the cached keys directly.
-    if (not precomputed
-            and getattr(net.cfg, "fuse_scope_towers", False)
-            and hasattr(net, "frozen_towers")
-            and set(FROZEN_PREFIXES) <= set(net.frozen_prefixes)):
-        towers = net.apply({"params": state.params}, batch,
-                           method="frozen_towers")
 
     def loss_fn(trainable_params):
         params = {**trainable_params, **frozen}
@@ -517,9 +427,8 @@ def train_step(net, state: TrainState, batch: Dict[str, Batch],
         for i, scope in enumerate(scopes):
             rngs = dict(zip(("dropout", "sigma", "noise", "mask", "goal_mask"),
                             jax.random.split(jax.random.fold_in(rng, i), 5)))
-            kw = {} if towers is None else {"towers": towers[scope]}
             out = net.apply({"params": params}, batch[scope], modality=scope,
-                            train=True, rngs=rngs, **kw)
+                            train=True, rngs=rngs)
             total = total + out["total_loss"]
             for k, v in out.items():
                 metrics[f"{scope}/{k}"] = v

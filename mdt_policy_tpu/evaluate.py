@@ -55,14 +55,17 @@ def load_run_agent(train_folder, *, use_ema: bool = True,
                                        init_agent, init_mdt_agent)
     from mdt_policy_tpu.utils.checkpoint import Checkpointer
 
+    from mdt_policy_tpu.agents.config import filter_retired_overrides
+
     train_folder = Path(train_folder)
     run_cfg = load_run_config(train_folder)
+    overrides = filter_retired_overrides(run_cfg.agent_overrides)
     # agent selection from the run config (ref load_pl_module_from_checkpoint
     # instantiates whatever _target_ the run names, evaluation/utils.py:64-106)
     if run_cfg.agent == "mdt":
-        agent_cfg, init = MDTConfig(**run_cfg.agent_overrides), init_mdt_agent
+        agent_cfg, init = MDTConfig(**overrides), init_mdt_agent
     elif run_cfg.agent == "mdtv":
-        agent_cfg, init = MDTVConfig(**run_cfg.agent_overrides), init_agent
+        agent_cfg, init = MDTVConfig(**overrides), init_agent
     else:
         raise ValueError(f"unknown agent {run_cfg.agent!r} in run config")
     agent_cfg = dataclasses.replace(agent_cfg, **(cfg_replace or {}))

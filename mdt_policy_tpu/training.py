@@ -205,19 +205,25 @@ def load_config(path: Optional[str], overrides) -> RunConfig:
 
 def _make_agent(cfg: RunConfig):
     from mdt_policy_tpu.agents import MDTConfig, MDTVConfig
+    from mdt_policy_tpu.agents.config import filter_retired_overrides
+    overrides = filter_retired_overrides(cfg.agent_overrides)
     if cfg.agent == "mdtv":
-        return MDTVConfig(**cfg.agent_overrides)
+        return MDTVConfig(**overrides)
     if cfg.agent == "mdt":
-        return MDTConfig(**cfg.agent_overrides)
+        return MDTConfig(**overrides)
     raise ValueError(f"unknown agent {cfg.agent!r}")
 
 
 # Agent-config fields whose production default DIFFERS in embedding-cache
-# mode (data.use_extracted_embeddings): with the camera towers gone the
-# perceiver K/V residuals fit HBM, so skipping the remat recompute measured
-# 342 -> 304 ms/step at B=512 (ROUND3_NOTES decision table). Applied by
-# train() before the config snapshot (an explicit agent_overrides entry
-# always wins) and by cache_mode_config() for out-of-CLI users (bench.py).
+# mode (data.use_extracted_embeddings). Measured at B=512/modality on the
+# v5e chip (fetch-barrier methodology, ROUND3/4 decision tables):
+# - remat_perceiver=False: with the camera towers gone the perceiver K/V
+#   residuals fit HBM; skipping the recompute measured 342 -> 304 ms/step.
+# (perceiver_factored_kv, the round-4 cache-mode breakthrough — 238.5 ->
+# 140.2 ms/step — won in FULL mode too and is now the MDTVConfig default.)
+# Applied by train() before the config snapshot (an explicit
+# agent_overrides entry always wins) and by cache_mode_config() for
+# out-of-CLI users (bench.py).
 CACHE_MODE_AGENT_DEFAULTS: Dict[str, Any] = {"remat_perceiver": False}
 
 

@@ -36,8 +36,8 @@ def tower_custom_call_flops(cfg, B: int) -> float:
     for the dual-modality MDT-V step at batch B per modality stream.
 
     Counts what the production step actually runs (independent of
-    fuse_scope_towers / fuse_camera_batch / scan_tower_layers — those change
-    the batching of the SAME math, not the op counts):
+    fuse_camera_batch / scan_tower_layers — those change the batching of the
+    SAME math, not the op counts):
 
     - Voltron ViT: 2 cameras x 2 scopes x B images (obs_seq_len=1 frames),
       (img/patch)^2 tokens, perceiver_dim wide, vit_depth layers;

@@ -159,28 +159,16 @@ def test_fused_camera_batch_matches_separate(world):
     np.testing.assert_allclose(outs[True], outs[False], rtol=1e-6, atol=1e-6)
 
 
-def test_fused_scope_towers_match_unfused_step(world):
-    """fuse_scope_towers hoists ONE cross-scope tower forward outside
-    jax.grad (VERDICT r2 perf lever b); the towers are frozen constants of
-    the loss, so the whole train step — losses, grads, updated params — must
-    match the per-scope inline path."""
-    import dataclasses
-    from mdt_policy_tpu.agents.mdtv_agent import MDTVAgentNet
+def test_retired_overrides_filtered():
+    """Historical run snapshots carrying retired experiment flags
+    (mxu_tower_norm / perceiver_head_slice / fuse_scope_towers — measured
+    and rejected, wiring removed in round 4) must still re-hydrate: the
+    filter drops them with a warning and the remaining overrides apply."""
+    from mdt_policy_tpu.agents import MDTVConfig
+    from mdt_policy_tpu.agents.config import filter_retired_overrides
 
-    state0, batch = world["state0"], world["batch"]
-    results = {}
-    for flag in (False, True):
-        n = MDTVAgentNet(dataclasses.replace(TINY, fuse_scope_towers=flag))
-        s1, m1 = jax.jit(partial(train_step, n))(state0, batch,
-                                                 jax.random.PRNGKey(1))
-        results[flag] = (jax.device_get(m1), s1)
-    m_f, s_f = results[True]
-    m_u, s_u = results[False]
-    for k in ("train/total_loss", "lang/action_loss", "vis/action_loss",
-              "lang/img_gen_loss", "lang/cont_loss"):
-        np.testing.assert_allclose(float(m_f[k]), float(m_u[k]),
-                                   rtol=1e-5, atol=1e-6, err_msg=k)
-    for a, b in zip(jax.tree.leaves(s_f.params["inner"]),
-                    jax.tree.leaves(s_u.params["inner"])):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-5)
+    overrides = {"mxu_tower_norm": True, "perceiver_head_slice": True,
+                 "fuse_scope_towers": True, "latent_dim": 64}
+    kept = filter_retired_overrides(overrides)
+    assert kept == {"latent_dim": 64}
+    assert MDTVConfig(**kept).latent_dim == 64

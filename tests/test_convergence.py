@@ -18,6 +18,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+# compile-heavy end-to-end tier (see pyproject [tool.pytest.ini_options])
+pytestmark = pytest.mark.slow
 
 from mdt_policy_tpu.agents import denoise_actions, init_agent, train_step
 from test_agent import TINY, make_batch

@@ -26,6 +26,9 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+# compile-heavy end-to-end tier (see pyproject [tool.pytest.ini_options])
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 import torch.nn as nn  # noqa: E402
 

@@ -6,6 +6,9 @@ standard driver with the reference validation annotations."""
 import numpy as np
 import pytest
 
+# compile-heavy end-to-end tier (see pyproject [tool.pytest.ini_options])
+pytestmark = pytest.mark.slow
+
 from mdt_policy_tpu.training import DataConfig, RunConfig, TrainerConfig, train
 from test_training_cli import TINY_OVERRIDES
 

@@ -8,6 +8,9 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+# compile-heavy end-to-end tier (see pyproject [tool.pytest.ini_options])
+pytestmark = pytest.mark.slow
+
 from test_train_real_data import _write_split
 from test_training_cli import TINY_OVERRIDES
 

@@ -115,6 +115,7 @@ def test_minilm_embed_fn(minilm_dir):
     np.testing.assert_allclose(e1, embed("push the red block"))
 
 
+@pytest.mark.slow
 def test_evaluate_cli_consumes_minilm_embeddings(tmp_path):
     """Full chain: tiny train run (goal_dim matching the MiniLM hidden size)
     -> annotator writes embeddings.npy with the IN-REPO MiniLM encoder ->

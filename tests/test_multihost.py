@@ -10,6 +10,9 @@ from pathlib import Path
 
 import pytest
 
+# compile-heavy end-to-end tier (see pyproject [tool.pytest.ini_options])
+pytestmark = pytest.mark.slow
+
 REPO = Path(__file__).resolve().parent.parent
 
 CHILD = """

@@ -8,6 +8,9 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+# compile-heavy end-to-end tier (see pyproject [tool.pytest.ini_options])
+pytestmark = pytest.mark.slow
+
 from mdt_policy_tpu.data import extract_by_key
 
 H = 32

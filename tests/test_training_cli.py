@@ -7,6 +7,9 @@ import dataclasses
 import numpy as np
 import pytest
 
+# compile-heavy end-to-end tier (see pyproject [tool.pytest.ini_options])
+pytestmark = pytest.mark.slow
+
 from mdt_policy_tpu.training import DataConfig, RunConfig, TrainerConfig, load_config, train
 
 TINY_OVERRIDES = dict(

@@ -1,7 +1,7 @@
 """A/B the production train step across MDTVConfig field overrides.
 
 Usage:
-  python tools/ab_step.py 'mxu_tower_norm=False' 'mxu_tower_norm=True'
+  python tools/ab_step.py 'remat_perceiver=False' 'perceiver_factored_kv=True'
   python tools/ab_step.py ''          # just time the default config
 
 Each argument is a comma-separated set of field=value overrides applied to
