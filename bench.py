@@ -148,6 +148,10 @@ def orchestrate(B: int) -> None:
                 for k in ("full", "precomputed", "denoiser", "mdt")
                 if k in results and results[k].get("compile_s") is not None
             },
+            # one-time cost split for the headline program: host trace+lower
+            # vs XLA compile (near-zero when the persistent cache is warm)
+            "full_trace_lower_s": full.get("trace_lower_s"),
+            "full_xla_compile_s": full.get("xla_compile_s"),
             "wall_time_s": round(time.perf_counter() - t_start, 1),
         },
     }))
@@ -171,16 +175,6 @@ def _make_batch(B, rng, cfg=None):
             "lang_tokens": jnp.asarray(rng.integers(1, 49408, size=(B, 77)), jnp.int32),
         }
     return {"vis": scope(), "lang": scope()}
-
-
-def _cost_flops(jitted, *args):
-    try:
-        cost = jitted.lower(*args).compile().cost_analysis()
-        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-        return float(cost.get("flops")) if cost and cost.get("flops") else None
-    except Exception as e:
-        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
-        return None
 
 
 # --------------------------------------------------------------------------
@@ -207,22 +201,45 @@ def section_full(B: int) -> dict:
         bytes; depends on every optimizer update in the donation chain)."""
         np.asarray(state.params["inner"]["tok_emb"]["kernel"])
 
+    # ONE compile, reused everywhere: the AOT executable serves cost
+    # analysis AND the timed loops. (Round 3 compiled the program twice —
+    # once inside cost_analysis' lower().compile(), once on the first
+    # jitted() call — and the persistent compile cache demonstrably does
+    # not dedupe compiles on this remote backend: an identical program
+    # recompiled 497 s in a fresh process with a warm cache dir. The
+    # explicit split below is the honest one-time-cost accounting.)
+    t0 = time.perf_counter()
+    lowered = jitted.lower(state, batch, key)
+    lower_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    compiled = lowered.compile()
+    xla_compile_s = time.perf_counter() - t0
+    print(f"trace+lower {lower_s:.1f}s, XLA compile {xla_compile_s:.1f}s",
+          file=sys.stderr)
+
     # XLA's own FLOP count for the step — the physics self-check. XLA treats
     # pallas_call as an opaque zero-flop custom call, so the fused tower-
     # attention kernels' matmuls are added analytically (utils/flops.py) to
     # make the utilization and ceiling figures exact.
-    flops = _cost_flops(jitted, state, batch, key)
-    pallas_flops = None
+    flops = pallas_flops = None
+    try:
+        cost = compiled.cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops = float(cost.get("flops")) if cost and cost.get("flops") else None
+    except Exception as e:
+        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
     if flops:
         from mdt_policy_tpu.utils.flops import tower_custom_call_flops
         pallas_flops = tower_custom_call_flops(cfg, B)
         flops += pallas_flops
 
     t0 = time.perf_counter()
-    state, metrics = jitted(state, batch, key)
+    state, metrics = compiled(state, batch, key)
     drain(state)
-    compile_s = time.perf_counter() - t0
-    print(f"train-step compile+first-run: {compile_s:.1f}s", file=sys.stderr)
+    first_run_s = time.perf_counter() - t0
+    compile_s = lower_s + xla_compile_s + first_run_s  # total one-time cost
+    print(f"first run (H2D transfers + step): {first_run_s:.1f}s "
+          f"-> one-time total {compile_s:.1f}s", file=sys.stderr)
 
     # best-of-2 drained mini-loops: guards against transient tunnel stalls
     # (the same program has measured 1.1 s and >60 s per step minutes apart)
@@ -230,8 +247,8 @@ def section_full(B: int) -> dict:
     for rep in range(2):
         t0 = time.perf_counter()
         for i in range(n_steps):
-            state, metrics = jitted(state, batch,
-                                    jax.random.fold_in(key, rep * n_steps + i))
+            state, metrics = compiled(state, batch,
+                                      jax.random.fold_in(key, rep * n_steps + i))
         drain(state)
         dts.append((time.perf_counter() - t0) / n_steps)
     print("train-step loops: " + ", ".join(f"{d*1e3:.0f} ms" for d in dts),
@@ -321,6 +338,8 @@ def section_full(B: int) -> dict:
         "device_ms": round(device_ms, 2),
         "rtt_floor_ms": round(rtt_floor_ms, 2),
         "compile_s": round(compile_s, 1),
+        "trace_lower_s": round(lower_s, 1),
+        "xla_compile_s": round(xla_compile_s, 1),
     }
 
 
@@ -364,9 +383,17 @@ def section_precomputed(B: int) -> dict:
     net, state = init_agent(cfg, jax.random.PRNGKey(0), batch["lang"])
     jitted = jax.jit(partial(train_step, net), donate_argnums=(0,))
     key = jax.random.PRNGKey(5)
-    flops = _cost_flops(jitted, state, batch, key)
+    # one compile, reused for cost analysis and the loops (see section_full)
     t0 = time.perf_counter()
-    state, _ = jitted(state, batch, key)
+    compiled = jitted.lower(state, batch, key).compile()
+    flops = None
+    try:
+        cost = compiled.cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops = float(cost.get("flops")) if cost and cost.get("flops") else None
+    except Exception:
+        pass
+    state, _ = compiled(state, batch, key)
     np.asarray(state.params["inner"]["tok_emb"]["kernel"][0, 0])
     compile_s = time.perf_counter() - t0
     print(f"cache-mode compile+first-run: {compile_s:.1f}s", file=sys.stderr)
@@ -374,7 +401,7 @@ def section_precomputed(B: int) -> dict:
     for rep in range(2):
         t0 = time.perf_counter()
         for i in range(6):
-            state, _ = jitted(state, batch, jax.random.fold_in(key, rep * 6 + i))
+            state, _ = compiled(state, batch, jax.random.fold_in(key, rep * 6 + i))
         np.asarray(state.params["inner"]["tok_emb"]["kernel"][0, 0])
         dts.append((time.perf_counter() - t0) / 6)
     cps = 2 * B / min(dts)

@@ -128,10 +128,9 @@ def main():
     n_steps = 2
     cfg = MDTVConfig()
     if precomputed:
-        # mirror the training CLI's cache-mode auto-default
-        # (training.py: remat_perceiver=False when use_extracted_embeddings)
-        import dataclasses
-        cfg = dataclasses.replace(cfg, remat_perceiver=False)
+        # the training CLI's cache-mode production config
+        from mdt_policy_tpu.training import cache_mode_config
+        cfg = cache_mode_config()
     rng = np.random.default_rng(0)
 
     def scope():
