@@ -137,6 +137,8 @@ def orchestrate(B: int) -> None:
             "disk_loader_chunks_per_sec":
                 round(disk["chunks_per_sec"], 1) if disk else None,
             "disk_loader_workers": disk["num_workers"] if disk else None,
+            # embedding-cache mode input path (feeds the cache-mode step)
+            "disk_embedding_loader": disk_res.get("emb"),
             # shard-process scaling model: CPU-ms per chunk under concurrent
             # N-shard load and the implied aggregate at k dedicated cores
             "disk_loader_scaling": disk_res.get("scaling"),
@@ -537,7 +539,8 @@ def section_disk(_B: int) -> dict:
     except Exception:
         pass
     from mdt_policy_tpu.data.bench_loader import (
-        bench as loader_bench, generate_dataset, scaling_bench)
+        bench as loader_bench, bench_embeddings, fabricate_embedding_cache,
+        generate_dataset, scaling_bench)
     from mdt_policy_tpu.data.extract import extract_by_key, extract_frames
 
     tmp = tempfile.mkdtemp(prefix="mdt_bench_disk_")
@@ -547,6 +550,18 @@ def section_disk(_B: int) -> dict:
     disk = loader_bench(root, batch_size=128, steps=40)
     print(f"disk input pipeline: {disk['chunks_per_sec']:.0f} chunks/s "
           f"({disk['num_workers']} worker(s))", file=sys.stderr)
+    # embedding-cache input path (the mode that must feed the ~7.3k
+    # chunks/s cache-mode step; production token shapes, random bits)
+    emb = None
+    try:
+        fabricate_embedding_cache(root)
+        emb = bench_embeddings(root, batch_size=128, steps=30)
+        print(f"embedding-cache input pipeline: "
+              f"{emb['chunks_per_sec']:.0f} chunks/s "
+              f"({emb['mb_per_chunk']:.2f} MB/chunk, "
+              f"{emb['gbytes_per_sec']:.2f} GB/s)", file=sys.stderr)
+    except Exception as e:
+        print(f"embedding loader bench skipped: {e}", file=sys.stderr)
     scaling = None
     try:
         scaling = [scaling_bench(root, n, steps=12) for n in (2, 4)]
@@ -558,7 +573,7 @@ def section_disk(_B: int) -> dict:
     except Exception as e:
         print(f"loader scaling bench skipped: {e}", file=sys.stderr)
     shutil.rmtree(tmp, ignore_errors=True)
-    return {"disk": disk, "scaling": scaling}
+    return {"disk": disk, "scaling": scaling, "emb": emb}
 
 
 # --------------------------------------------------------------------------

@@ -90,6 +90,78 @@ def bench(root: Path, *, batch_size: int = 128, steps: int = 50,
     }
 
 
+def fabricate_embedding_cache(root: Path, *, n_tokens: int = 784,
+                              dim: int = 384, emb_dim: int = 512,
+                              seed: int = 1) -> Path:
+    """Write PRODUCTION-SHAPE extracted embedding arrays with random bits
+    (data/extract_embeddings.py layout). The loader's assembly cost is pure
+    memory movement — independent of the values — so the cache-mode input
+    path can be benchmarked without ever running the towers. Requires
+    extracted/ep_npz_names.list (run extract.extract_by_key first)."""
+    root = Path(root)
+    ex = root / "extracted"
+    with open(ex / "ep_npz_names.list") as f:
+        n = sum(1 for _ in f)
+    rng = np.random.default_rng(seed)
+    tok = np.lib.format.open_memmap(ex / "ep_voltron_tokens.npy", mode="w+",
+                                    dtype=np.uint16, shape=(n, n_tokens, dim))
+    # fill chunked (a (N, 784, 384) random draw at once would be slow/large)
+    step = max(1, 10**8 // (n_tokens * dim))
+    for lo in range(0, n, step):
+        hi = min(n, lo + step)
+        tok[lo:hi] = rng.integers(0, 2**16, (hi - lo, n_tokens, dim),
+                                  dtype=np.uint16)
+    tok.flush()
+    np.save(ex / "ep_clip_img_emb.npy",
+            rng.normal(size=(n, emb_dim)).astype(np.float32))
+    (ex / "embeddings_meta.json").write_text(json.dumps({
+        "voltron_tokens": {"dtype": "bfloat16 (uint16 bits)",
+                           "shape": [n, n_tokens, dim]},
+        "clip_img_emb": {"dtype": "float32", "shape": [n, emb_dim]},
+        "source": "bench_loader.fabricate_embedding_cache",
+    }))
+    return ex
+
+
+def bench_embeddings(root: Path, *, batch_size: int = 128, steps: int = 30,
+                     num_workers=None, min_window: int = 21,
+                     max_window: int = 50) -> dict:
+    """Loader throughput in EMBEDDING-CACHE mode (use_extracted_embeddings):
+    each sample gathers ~600 KB of voltron tokens instead of decoding camera
+    frames — the input path that must feed the 7.3k chunks/s cache-mode
+    step."""
+    from mdt_policy_tpu.data.dataset import CalvinDataset
+    from mdt_policy_tpu.data.loader import BatchLoader
+
+    ds = CalvinDataset(root, key="vis", min_window_size=min_window,
+                       max_window_size=max_window,
+                       use_extracted_rel_actions=True,
+                       use_extracted_frames=True,
+                       use_extracted_embeddings=True)
+    loader = BatchLoader(ds, batch_size, seed=0, num_workers=num_workers,
+                         prefetch=4)
+    it = iter(loader)
+    b = next(it)  # warmup
+    assert "voltron_tokens" in b, "embedding-cache batch path not active"
+    bytes_per_chunk = sum(np.asarray(v).nbytes for v in b.values()) / len(b["actions"])
+    t0 = time.perf_counter()
+    n = 0
+    for _ in range(steps):
+        b = next(it)
+        n += len(b["actions"])
+    dt = time.perf_counter() - t0
+    loader.close()
+    cps = n / dt
+    return {
+        "chunks_per_sec": cps,
+        "num_workers": loader.num_workers,
+        "mb_per_chunk": bytes_per_chunk / 1e6,
+        "gbytes_per_sec": cps * bytes_per_chunk / 1e9,
+        "batches": steps,
+        "batch_size": batch_size,
+    }
+
+
 # ---------------------------------------------------------------------------
 # Multi-core scaling (VERDICT r2 item 4)
 # ---------------------------------------------------------------------------
@@ -187,6 +259,10 @@ def main():
     ap.add_argument("--shards", type=int, nargs="+", default=None,
                     help="also run the multi-process scaling bench at these "
                          "shard counts (e.g. --shards 1 2 4)")
+    ap.add_argument("--embeddings", action="store_true",
+                    help="bench the embedding-cache input path "
+                         "(use_extracted_embeddings; fabricates a "
+                         "production-shape token cache when absent)")
     args = ap.parse_args()
 
     tmp = None
@@ -199,6 +275,15 @@ def main():
         extract_by_key(root)
         extract_frames(root)
     try:
+        if args.embeddings:
+            ex = root / "extracted"
+            if not (ex / "ep_voltron_tokens.npy").exists():
+                fabricate_embedding_cache(root)
+            res = bench_embeddings(root, batch_size=args.batch_size,
+                                   steps=args.steps,
+                                   num_workers=args.num_workers)
+            print(json.dumps(res))
+            return
         res = bench(root, batch_size=args.batch_size, steps=args.steps,
                     num_workers=args.num_workers,
                     use_extracted_frames=not args.no_extracted_frames)

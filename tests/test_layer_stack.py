@@ -6,6 +6,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mdt_policy_tpu.models.clip import CLIPTextTower, CLIPVisionTower
 from mdt_policy_tpu.models.layer_stack import (
@@ -82,6 +83,7 @@ def test_clip_towers_scan_match_unrolled():
         rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow  # full-agent compile, ~2 min on this host
 def test_agent_scan_step_matches_unrolled():
     """Full MDT-V train step: converting an unrolled-init param tree to the
     scanned layout gives the SAME loss — scan_layers is a pure layout/

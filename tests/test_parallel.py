@@ -28,6 +28,7 @@ def test_mesh_has_8_devices(eight_devices):
     assert mesh.devices.size >= 8
 
 
+@pytest.mark.slow  # full-agent compile, ~2 min on this host
 def test_sharded_train_step_matches_single_device(agent, eight_devices):
     net, state, batch = agent
     # pad batch to 8 so it shards evenly

@@ -146,6 +146,7 @@ def test_add_depth_noise_statistics():
     assert 0.01 < ratio.std() < 0.1
 
 
+@pytest.mark.slow  # full-agent compile, ~2 min on this host
 def test_agent_train_step_with_proprio():
     """MDT-V train step consumes state_obs through proprio_emb: loss finite
     and the proprio_emb parameters receive gradient."""
