@@ -24,6 +24,13 @@ def ref_clip():
     tvt.InterpolationMode = types.SimpleNamespace(BICUBIC=3)
     tv = types.ModuleType("torchvision")
     tv.transforms = tvt
+    # a real-looking __spec__: other libraries (transformers) probe
+    # torchvision availability via importlib.util.find_spec, which
+    # raises ValueError on a stub module whose __spec__ is None
+    import importlib.machinery
+    tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", None)
+    tvt.__spec__ = importlib.machinery.ModuleSpec(
+        "torchvision.transforms", None)
     sys.modules.setdefault("torchvision", tv)
     sys.modules.setdefault("torchvision.transforms", tvt)
     tok_stub = types.ModuleType("mdt.utils.clip_tokenizer")
