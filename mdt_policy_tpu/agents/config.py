@@ -93,6 +93,13 @@ class MDTVConfig:
     clip_vision_width: int = 768
     clip_vision_layers: int = 12
     clip_vision_patch: int = 16
+    # goal image tower family: "vit" (ViT-B/16, the production config) or
+    # "resnet" (CLIP ModifiedResNet — the reference VisionClip's DEFAULT
+    # model_name="RN50", vision_clip.py:10; RN50 emits 1024-d embeddings, so
+    # pair with clip_embed_dim=1024 / goal_dim accordingly)
+    clip_vision_family: str = "vit"
+    clip_rn_layers: Tuple[int, int, int, int] = (3, 4, 6, 3)
+    clip_rn_width: int = 64
     clip_text_width: int = 512
     clip_text_layers: int = 12
     clip_text_heads: int = 8

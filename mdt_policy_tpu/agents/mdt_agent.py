@@ -29,7 +29,7 @@ import optax
 from mdt_policy_tpu.diffusion import make_sample_density
 from mdt_policy_tpu.diffusion.precond import append_dims, get_scalings
 from mdt_policy_tpu.models.blocks import ClipStyleProjection
-from mdt_policy_tpu.models.clip import CLIPTextTower, CLIPVisionTower
+from mdt_policy_tpu.models.clip import CLIPTextTower
 from mdt_policy_tpu.models.masked_decoder import MaskedTransformerImgDecoder
 from mdt_policy_tpu.models.mdt_transformer import MDTTransformer
 from mdt_policy_tpu.models.resnet import BesoResNetEncoder
@@ -62,18 +62,14 @@ class MDTAgentNet(nn.Module):
 
     def setup(self):
         c = self.cfg
-        from .mdtv_agent import resolve_fused_attention
+        from .mdtv_agent import make_visual_goal_tower, resolve_fused_attention
         fused_attn = resolve_fused_attention(c)
         scan_layers = bool(getattr(c, "scan_tower_layers", False))
         self.static_resnet = BesoResNetEncoder(latent_dim=c.latent_dim,
                                                name="static_resnet")
         self.gripper_resnet = BesoResNetEncoder(latent_dim=c.latent_dim,
                                                 name="gripper_resnet")
-        self.visual_goal = CLIPVisionTower(
-            embed_dim=c.clip_embed_dim, image_resolution=c.img_size,
-            layers=c.clip_vision_layers, width=c.clip_vision_width,
-            patch_size=c.clip_vision_patch, fused_attention=fused_attn,
-            scan_layers=scan_layers, name="visual_goal")
+        self.visual_goal = make_visual_goal_tower(c, fused_attn, scan_layers)
         self.language_goal = CLIPTextTower(
             embed_dim=c.clip_embed_dim, context_length=c.clip_context_length,
             vocab_size=c.clip_vocab_size, width=c.clip_text_width,

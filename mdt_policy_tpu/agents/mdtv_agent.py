@@ -70,6 +70,24 @@ def resolve_fused_attention(cfg) -> bool:
     return bool(flag)
 
 
+def make_visual_goal_tower(c, fused_attn: bool, scan_layers: bool,
+                           name: str = "visual_goal"):
+    """Goal image tower per cfg.clip_vision_family: the ViT family
+    (production ViT-B/16) or CLIP's ModifiedResNet (the reference
+    VisionClip default, model_name='RN50' — vision_clip.py:10). The RN
+    tower is a conv net: fused_attention/scan_layers do not apply."""
+    from mdt_policy_tpu.models.clip import CLIPResNetTower
+    if getattr(c, "clip_vision_family", "vit") == "resnet":
+        return CLIPResNetTower(
+            embed_dim=c.clip_embed_dim, layers=tuple(c.clip_rn_layers),
+            width=c.clip_rn_width, image_resolution=c.img_size, name=name)
+    return CLIPVisionTower(
+        embed_dim=c.clip_embed_dim, image_resolution=c.img_size,
+        layers=c.clip_vision_layers, width=c.clip_vision_width,
+        patch_size=c.clip_vision_patch, fused_attention=fused_attn,
+        scan_layers=scan_layers, name=name)
+
+
 def split_params(params, frozen_prefixes=FROZEN_PREFIXES):
     """Partition the param tree into (trainable, frozen) top-level subtrees.
 
@@ -107,11 +125,7 @@ class MDTVAgentNet(nn.Module):
             dtype=jnp.dtype(c.compute_dtype),
             factored=bool(getattr(c, "perceiver_factored_kv", False)),
             name="perceiver")
-        self.visual_goal = CLIPVisionTower(
-            embed_dim=c.clip_embed_dim, image_resolution=c.img_size,
-            layers=c.clip_vision_layers, width=c.clip_vision_width,
-            patch_size=c.clip_vision_patch, fused_attention=fused_attn,
-            scan_layers=scan_layers, name="visual_goal")
+        self.visual_goal = make_visual_goal_tower(c, fused_attn, scan_layers)
         self.language_goal = CLIPTextTower(
             embed_dim=c.clip_embed_dim, context_length=c.clip_context_length,
             vocab_size=c.clip_vocab_size, width=c.clip_text_width,

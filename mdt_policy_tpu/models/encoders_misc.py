@@ -37,17 +37,29 @@ class NoEncoder(nn.Module):
 
 
 class VisionClipHead(nn.Module):
-    """Frozen CLIP image tower + trainable fc head (ref vision_clip.py:8-31)."""
+    """Frozen CLIP image tower + trainable fc head (ref vision_clip.py:8-31
+    `VisionClip`). The reference defaults to model_name='RN50' (1024-d
+    tower output, fc1 1024->512) with 'ViT-B/32' (512-d, fc1 512->256) as
+    the alternative; `family` selects the tower and the matching head
+    widths."""
     visual_features: int = 64
     clip_embed_dim: int = 512
+    family: str = "vit"   # "vit" | "resnet" (the reference's RN50 default)
     tower_kwargs: dict = None
 
     @nn.compact
     def __call__(self, images):
-        tower = CLIPVisionTower(embed_dim=self.clip_embed_dim,
-                                **(self.tower_kwargs or {}), name="clip")
+        if self.family == "resnet":
+            from .clip import CLIPResNetTower
+            tower = CLIPResNetTower(embed_dim=self.clip_embed_dim,
+                                    **(self.tower_kwargs or {}), name="clip")
+            fc1_width = 512   # ref: nn.Linear(1024, 512) for RN50
+        else:
+            tower = CLIPVisionTower(embed_dim=self.clip_embed_dim,
+                                    **(self.tower_kwargs or {}), name="clip")
+            fc1_width = 256   # ref: nn.Linear(512, 256) for ViT-B/32
         x = jax.lax.stop_gradient(tower(images))
-        x = jax.nn.relu(nn.Dense(256, name="fc1")(x))
+        x = jax.nn.relu(nn.Dense(fc1_width, name="fc1")(x))
         return nn.Dense(self.visual_features, name="fc2")(x)
 
 

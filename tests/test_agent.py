@@ -159,6 +159,29 @@ def test_fused_camera_batch_matches_separate(world):
     np.testing.assert_allclose(outs[True], outs[False], rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow  # second full-agent compile, ~2 min on this host
+def test_resnet_goal_tower_family(world):
+    """clip_vision_family='resnet' swaps the goal image tower for CLIP's
+    ModifiedResNet (the reference VisionClip DEFAULT, model_name='RN50' —
+    vision_clip.py:10); the full dual-modality train step runs and the
+    tower stays frozen."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, clip_vision_family="resnet",
+                              clip_rn_layers=(1, 1, 1, 1), clip_rn_width=4)
+    batch = world["batch"]
+    net, state = init_agent(cfg, jax.random.PRNGKey(0), batch["lang"])
+    assert "attnpool" in state.params["visual_goal"], \
+        "resnet family should build the ModifiedResNet tower"
+    state1, metrics = jax.jit(partial(train_step, net))(
+        state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["train/total_loss"]))
+    # frozen: the RN goal tower's params must not move
+    for a, b in zip(jax.tree.leaves(state.params["visual_goal"]),
+                    jax.tree.leaves(state1.params["visual_goal"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_retired_overrides_filtered():
     """Historical run snapshots carrying retired experiment flags
     (mxu_tower_norm / perceiver_head_slice / fuse_scope_towers — measured
