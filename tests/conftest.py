@@ -28,3 +28,16 @@ def eight_devices():
     devs = jax.devices()
     assert len(devs) >= 8, f"expected 8 virtual devices, got {len(devs)}"
     return devs
+
+
+def stub_module(name: str):
+    """A stub module SAFE to register in sys.modules: it carries a real
+    ModuleSpec because later imports of libraries like transformers probe
+    arbitrary packages via importlib.util.find_spec, which raises ValueError
+    on any sys.modules entry whose __spec__ is None (a bare ModuleType)."""
+    import importlib.machinery
+    import types
+
+    m = types.ModuleType(name)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    return m

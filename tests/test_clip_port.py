@@ -4,6 +4,7 @@ encode_text outputs as our flax towers after weight conversion."""
 
 import sys
 import types
+from conftest import stub_module
 from pathlib import Path
 
 import numpy as np
@@ -18,11 +19,11 @@ def ref_clip():
         pytest.skip("reference not mounted")
     sys.path.insert(0, str(REF))
     # stub deps the vendored clip.py imports but never uses for model math
-    tvt = types.ModuleType("torchvision.transforms")
+    tvt = stub_module("torchvision.transforms")
     for name in ("CenterCrop", "Compose", "Normalize", "Resize", "ToTensor"):
         setattr(tvt, name, object)
     tvt.InterpolationMode = types.SimpleNamespace(BICUBIC=3)
-    tv = types.ModuleType("torchvision")
+    tv = stub_module("torchvision")
     tv.transforms = tvt
     # a real-looking __spec__: other libraries (transformers) probe
     # torchvision availability via importlib.util.find_spec, which
@@ -33,10 +34,10 @@ def ref_clip():
         "torchvision.transforms", None)
     sys.modules.setdefault("torchvision", tv)
     sys.modules.setdefault("torchvision.transforms", tvt)
-    tok_stub = types.ModuleType("mdt.utils.clip_tokenizer")
+    tok_stub = stub_module("mdt.utils.clip_tokenizer")
     tok_stub.SimpleTokenizer = object
     for name in ("mdt", "mdt.utils"):
-        sys.modules.setdefault(name, types.ModuleType(name))
+        sys.modules.setdefault(name, stub_module(name))
     sys.modules["mdt.utils.clip_tokenizer"] = tok_stub
     # load by file path (other tests register bare 'mdt' stubs that break
     # package-style imports)

@@ -20,6 +20,7 @@ dir, restores it through `evaluate.build_policy`, and asserts:
 import importlib.util
 import sys
 import types
+from conftest import stub_module
 from collections import OrderedDict
 from pathlib import Path
 
@@ -59,11 +60,11 @@ def _load_ref_mdtv_transformer():
     for name in list(sys.modules):
         if name == "mdt" or name.startswith("mdt."):
             del sys.modules[name]
-    om = types.ModuleType("omegaconf")
+    om = stub_module("omegaconf")
     om.DictConfig = dict
     sys.modules.setdefault("omegaconf", om)
-    mpl = types.ModuleType("matplotlib")
-    plt = types.ModuleType("matplotlib.pyplot")
+    mpl = stub_module("matplotlib")
+    plt = stub_module("matplotlib.pyplot")
     plt.cla = None
     mpl.pyplot = plt
     sys.modules.setdefault("matplotlib", mpl)
@@ -79,13 +80,13 @@ def _load_ref_perceiver():
     sys.path.insert(0, str(REF))
     if "einops_exts" not in sys.modules:
         from einops import rearrange
-        ee = types.ModuleType("einops_exts")
+        ee = stub_module("einops_exts")
         ee.rearrange_many = lambda xs, *a, **k: [rearrange(x, *a, **k) for x in xs]
         sys.modules["einops_exts"] = ee
     pkg = "ref_perceiver_pkg"
     if f"{pkg}.perceiver_resampler" in sys.modules:
         return sys.modules[f"{pkg}.perceiver_resampler"].PerceiverResampler
-    pkg_mod = types.ModuleType(pkg)
+    pkg_mod = stub_module(pkg)
     pkg_mod.__path__ = [str(REF / "mdt/models/networks/transformers")]
     sys.modules[pkg] = pkg_mod
     spec_u = importlib.util.spec_from_file_location(
@@ -105,11 +106,11 @@ def _load_ref_perceiver():
 def _load_ref_clip():
     """Vendored OpenAI CLIP (test_clip_port.py loader)."""
     sys.path.insert(0, str(REF))
-    tvt = types.ModuleType("torchvision.transforms")
+    tvt = stub_module("torchvision.transforms")
     for name in ("CenterCrop", "Compose", "Normalize", "Resize", "ToTensor"):
         setattr(tvt, name, object)
     tvt.InterpolationMode = types.SimpleNamespace(BICUBIC=3)
-    tv = types.ModuleType("torchvision")
+    tv = stub_module("torchvision")
     tv.transforms = tvt
     # a real-looking __spec__: other libraries (transformers) probe
     # torchvision availability via importlib.util.find_spec, which
@@ -120,10 +121,10 @@ def _load_ref_clip():
         "torchvision.transforms", None)
     sys.modules.setdefault("torchvision", tv)
     sys.modules.setdefault("torchvision.transforms", tvt)
-    tok_stub = types.ModuleType("mdt.utils.clip_tokenizer")
+    tok_stub = stub_module("mdt.utils.clip_tokenizer")
     tok_stub.SimpleTokenizer = object
     for name in ("mdt", "mdt.utils"):
-        sys.modules.setdefault(name, types.ModuleType(name))
+        sys.modules.setdefault(name, stub_module(name))
     sys.modules["mdt.utils.clip_tokenizer"] = tok_stub
     spec = importlib.util.spec_from_file_location(
         "ref_clip_mod_e2e", REF / "mdt/models/networks/clip.py")

@@ -6,6 +6,7 @@ over the CALVIN-free fake env."""
 import importlib.util
 import sys
 import types
+from conftest import stub_module
 from pathlib import Path
 
 import numpy as np
@@ -50,8 +51,8 @@ class TestSequences:
         # stub the package chain mdt.evaluation.utils -> temp_seed
         from mdt_policy_tpu.evaluation.sequences import temp_seed
         for name in ("mdt", "mdt.evaluation"):
-            sys.modules.setdefault(name, types.ModuleType(name))
-        utils_stub = types.ModuleType("mdt.evaluation.utils")
+            sys.modules.setdefault(name, stub_module(name))
+        utils_stub = stub_module("mdt.evaluation.utils")
         utils_stub.temp_seed = temp_seed
         sys.modules["mdt.evaluation.utils"] = utils_stub
         spec = importlib.util.spec_from_file_location("ref_multistep", ref_path)

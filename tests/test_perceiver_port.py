@@ -4,6 +4,7 @@
 import importlib.util
 import sys
 import types
+from conftest import stub_module
 from pathlib import Path
 
 import numpy as np
@@ -19,12 +20,12 @@ def ref_perceiver():
     sys.path.insert(0, str(REF))
     if "einops_exts" not in sys.modules:
         from einops import rearrange
-        ee = types.ModuleType("einops_exts")
+        ee = stub_module("einops_exts")
         ee.rearrange_many = lambda xs, *a, **k: [rearrange(x, *a, **k) for x in xs]
         sys.modules["einops_exts"] = ee
     # satisfy the module's relative import of `.utils`
     pkg = "ref_perceiver_pkg"
-    pkg_mod = types.ModuleType(pkg)
+    pkg_mod = stub_module(pkg)
     pkg_mod.__path__ = [str(REF / "mdt/models/networks/transformers")]
     sys.modules[pkg] = pkg_mod
     spec_u = importlib.util.spec_from_file_location(

@@ -4,6 +4,7 @@ plus shape/sanity checks for the relative/dynamic biases."""
 import importlib.util
 import sys
 import types
+from conftest import stub_module
 from pathlib import Path
 
 import jax.numpy as jnp
@@ -17,7 +18,7 @@ REF = Path("/root/reference")
 def ref_rotary():
     if not REF.exists():
         pytest.skip("reference not mounted")
-    om = types.ModuleType("omegaconf")
+    om = stub_module("omegaconf")
     om.DictConfig = dict
     sys.modules.setdefault("omegaconf", om)
     spec = importlib.util.spec_from_file_location(

@@ -6,6 +6,7 @@ denoised-chunk-parity requirement."""
 
 import sys
 import types
+from conftest import stub_module
 from pathlib import Path
 
 import numpy as np
@@ -24,11 +25,11 @@ def ref_module():
     for name in list(sys.modules):
         if name == "mdt" or name.startswith("mdt."):
             del sys.modules[name]
-    om = types.ModuleType("omegaconf")
+    om = stub_module("omegaconf")
     om.DictConfig = dict
     sys.modules.setdefault("omegaconf", om)
-    mpl = types.ModuleType("matplotlib")
-    plt = types.ModuleType("matplotlib.pyplot")
+    mpl = stub_module("matplotlib")
+    plt = stub_module("matplotlib.pyplot")
     plt.cla = None
     mpl.pyplot = plt
     sys.modules.setdefault("matplotlib", mpl)
