@@ -139,9 +139,15 @@ class MDTVConfig:
     # TPU-native analogue of the reference's AMP fp16 (conf/config.yaml:46);
     # trainable modules stay float32.
     compute_dtype: str = "bfloat16"
-    # recompute the perceiver in backward (jax.checkpoint) — frees the
-    # 392-token K/V residuals that dominate HBM at large batch
-    remat_perceiver: bool = True
+    # recompute the perceiver in backward (jax.checkpoint). Existed to free
+    # the 392-token K/V residuals that dominated HBM at large batch — but
+    # the factored perceiver (above) never materializes them, so since
+    # round 4 the recompute is pure waste: full-mode B=512 measured
+    # 665.0 -> 638.4 ms/step (1,540 -> 1,604 chunks/s) with remat OFF, no
+    # OOM (and even the unfactored escape hatch fits: 770 ms measured
+    # remat-off in round 3). Default False; True re-enables the trade for
+    # larger-batch/smaller-HBM regimes.
+    remat_perceiver: bool = False
     # run both cameras through the frozen ViT as ONE batched call (numerically
     # identical: the same weights apply per-sample); halves kernel launches
     fuse_camera_batch: bool = True

@@ -215,16 +215,15 @@ def _make_agent(cfg: RunConfig):
 
 
 # Agent-config fields whose production default DIFFERS in embedding-cache
-# mode (data.use_extracted_embeddings). Measured at B=512/modality on the
-# v5e chip (fetch-barrier methodology, ROUND3/4 decision tables):
-# - remat_perceiver=False: with the camera towers gone the perceiver K/V
-#   residuals fit HBM; skipping the recompute measured 342 -> 304 ms/step.
-# (perceiver_factored_kv, the round-4 cache-mode breakthrough — 238.5 ->
-# 140.2 ms/step — won in FULL mode too and is now the MDTVConfig default.)
-# Applied by train() before the config snapshot (an explicit
-# agent_overrides entry always wins) and by cache_mode_config() for
-# out-of-CLI users (bench.py).
-CACHE_MODE_AGENT_DEFAULTS: Dict[str, Any] = {"remat_perceiver": False}
+# mode (data.use_extracted_embeddings). Since round 4 the set is EMPTY:
+# both of its former members won in full mode too and became MDTVConfig
+# defaults (perceiver_factored_kv=True — 238.5 -> 140.2 ms cache /
+# 762.6 -> 665.0 ms full; remat_perceiver=False — the factored perceiver
+# holds no big residuals, so the recompute was pure waste, 665.0 -> 638.4
+# ms full). The mechanism stays: train() applies these before the config
+# snapshot (an explicit agent_overrides entry always wins) and
+# cache_mode_config() is the out-of-CLI source of truth (bench.py).
+CACHE_MODE_AGENT_DEFAULTS: Dict[str, Any] = {}
 
 
 def cache_mode_config(**overrides):
