@@ -47,6 +47,7 @@ V5E_PEAK_FLOPS = 197e12  # bf16, one v5e chip
 SECTIONS = (
     ("full", 2400),
     ("precomputed", 1500),
+    ("sustained", 2400),
     ("denoiser", 1200),
     ("mdt", 1500),
     ("disk", 1200),
@@ -64,9 +65,7 @@ def orchestrate(B: int) -> None:
     results: dict[str, dict] = {}
     t_start = time.perf_counter()
     for name, timeout_s in SECTIONS:
-        if name == "mdt" and os.environ.get("MDT_BENCH_SKIP_MDT") == "1":
-            continue
-        if name == "disk" and os.environ.get("MDT_BENCH_SKIP_DISK") == "1":
+        if os.environ.get(f"MDT_BENCH_SKIP_{name.upper()}") == "1":
             continue
         out_path = os.path.join(tempfile.gettempdir(), f"mdt_bench_{name}.json")
         try:
@@ -105,24 +104,31 @@ def orchestrate(B: int) -> None:
 
     full = results.get("full", {})
     pre = results.get("precomputed", {})
+    sus = results.get("sustained", {})
     den = results.get("denoiser", {})
     mdt = results.get("mdt", {})
     disk_res = results.get("disk", {})
     disk = disk_res.get("disk")
-    chunks_per_sec = full.get("chunks_per_sec") or 0.0
+    # null — not 0.0 — when the full section produced no result: a failed
+    # section must not read as a measured 0 chunks/s downstream
+    chunks_per_sec = full.get("chunks_per_sec")
 
     print(json.dumps({
         "metric": "mdtv_train_chunks_per_sec_per_chip",
-        "value": round(chunks_per_sec, 1),
+        "value": round(chunks_per_sec, 1) if chunks_per_sec else None,
         "unit": "chunks/s/chip",
-        "vs_baseline": round(chunks_per_sec / 5000.0, 3),
+        "vs_baseline": round(chunks_per_sec / 5000.0, 3) if chunks_per_sec else None,
         "extras": {
             "barrier": "device_get(param leaf) — see docs/BENCHMARKING.md",
             "flops_per_step_tflop": full.get("flops_tflop"),
             "pallas_attention_tflop": full.get("pallas_tflop"),
             "mxu_utilization_pct": full.get("mxu_pct"),
             "physical_ceiling_chunks_per_sec": full.get("ceiling"),
+            # steady-state replan: perceive + 10-step DDIM with the subtask's
+            # goal embedding cached (the policy's _predict_emb path); the
+            # once-per-subtask text encode is ddim10_goal_encode_ms
             "ddim10_closed_loop_p50_ms": full.get("p50_ms"),
+            "ddim10_goal_encode_ms": full.get("goal_encode_ms"),
             "ddim10_device_side_ms": full.get("device_ms"),
             # median round trip of fetching ONE scalar from a trivial jitted
             # program — the tunnel's latency floor that bounds p50 from below
@@ -133,7 +139,23 @@ def orchestrate(B: int) -> None:
             # the data.use_extracted_embeddings training mode
             "precomputed_embeddings_chunks_per_sec": pre.get("chunks_per_sec"),
             "precomputed_embeddings_tflop_per_step": pre.get("tflop"),
+            # the RECOMMENDED production recipe (docs/BENCHMARKING.md): train
+            # from the offline embedding cache with K DrQ-shift variants per
+            # frame (extract_embeddings --aug-variants). `sustained` is that
+            # recipe measured END TO END — disk loader + H2D prefetch + the
+            # full three-loss step overlapped for >=30 s — not a step-only
+            # number; `loader_feed` is what this host's core(s) alone decode.
+            "production_config": "cache_mode+aug_variants",
+            "cache_mode_sustained_chunks_per_sec": sus.get("chunks_per_sec"),
+            "cache_mode_sustained": {
+                k: sus.get(k) for k in
+                ("steps", "seconds", "loader_feed_chunks_per_sec",
+                 "decode_threads", "host_cores", "aug_variants")
+            } if sus else None,
             "mdt_resnet_chunks_per_sec": mdt.get("chunks_per_sec"),
+            "mdt_flops_per_step_tflop": mdt.get("flops_tflop"),
+            "mdt_mxu_pct": mdt.get("mxu_pct"),
+            "mdt_physical_ceiling_chunks_per_sec": mdt.get("ceiling"),
             "disk_loader_chunks_per_sec":
                 round(disk["chunks_per_sec"], 1) if disk else None,
             "disk_loader_workers": disk["num_workers"] if disk else None,
@@ -147,7 +169,7 @@ def orchestrate(B: int) -> None:
             # these drop from minutes to seconds — docs/BENCHMARKING.md
             "compile_first_run_s": {
                 k: results[k].get("compile_s")
-                for k in ("full", "precomputed", "denoiser", "mdt")
+                for k in ("full", "precomputed", "sustained", "denoiser", "mdt")
                 if k in results and results[k].get("compile_s") is not None
             },
             # one-time cost split for the headline program: host trace+lower
@@ -283,47 +305,73 @@ def section_full(B: int) -> dict:
     print(f"tunnel RTT floor (1-scalar fetch): {rtt_floor_ms:.2f} ms",
           file=sys.stderr)
 
-    # --- secondary: 10-step DDIM closed-loop latency, batch 1, REAL fetch ---
+    # --- secondary: 10-step DDIM closed-loop latency, batch 1, REAL fetch.
+    # The timed program is the production STEADY-STATE replan: within a
+    # subtask the language goal does not change, so the policy encodes it
+    # once (MDTVPolicy._predict_emb, agents/mdtv_agent.py) and every replan
+    # runs perceive + 10-step sampler only. The one-per-subtask goal encode
+    # is measured separately (ddim10_goal_encode_ms); round 4 timed the text
+    # tower inside every rep AND constructed a PRNGKey device array per rep
+    # over the tunnel — both hoisted per round-4 VERDICT #3. ---
     b1 = _make_batch(1, rng)["lang"]
 
     @jax.jit
-    def sample(params, rs, rg, toks, k, carry):
+    def encode_goal(params, toks):
+        return net.apply({"params": params}, toks,
+                         method="encode_language_goal")
+
+    @jax.jit
+    def replan(params, rs, rg, goal, k, carry):
         # carry: previous action chunk (or zeros) — folded in as a zero term
         # INSIDE the jitted program so chained timing loops create a data
         # dependency without any eager per-op tunnel dispatches
         emb = net.apply({"params": params},
                         rs + (jnp.reshape(carry, (-1,))[0] * 0).astype(rs.dtype),
                         rg, method="compute_voltron_embeddings")
-        goal = net.apply({"params": params}, toks, method="encode_language_goal")
         return denoise_actions(net, params, emb, goal, k, modality="lang")
 
+    # goal encode: once per subtask in production; p50 of its own fetch loop
+    goal = encode_goal(state.params, b1["lang_tokens"])
+    np.asarray(goal)
+    gl = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        np.asarray(encode_goal(state.params, b1["lang_tokens"]))
+        gl.append(time.perf_counter() - t0)
+    goal_ms = float(np.median(gl)) * 1e3
+    print(f"language-goal encode (once per subtask): {goal_ms:.1f} ms",
+          file=sys.stderr)
+
     args = (state.params, b1["rgb_static"][:, :-1], b1["rgb_gripper"][:, :-1],
-            b1["lang_tokens"])
+            goal)
     zero = jnp.zeros((1, 10, 7))
+    # keys precomputed OUTSIDE the timed loop (each PRNGKey(i) is a device-
+    # array creation — a full tunnel round trip when timed inline)
+    keys = [jax.random.PRNGKey(i) for i in range(50)]
     # warm: compile + settle the tunnel before any timed rep
     for i in range(5):
-        np.asarray(sample(*args, jax.random.PRNGKey(i), zero))
+        np.asarray(replan(*args, keys[i], zero))
     lat = []
     for i in range(50):
         t0 = time.perf_counter()
-        np.asarray(sample(*args, jax.random.PRNGKey(i), zero))  # fetch chunk
+        np.asarray(replan(*args, keys[i], zero))  # fetch the action chunk
         lat.append(time.perf_counter() - t0)
     p50 = float(np.median(lat)) * 1e3
-    print(f"10-step DDIM closed-loop p50 (incl. D2H fetch): {p50:.1f} ms "
-          f"(target < 30 ms; tunnel RTT floor {rtt_floor_ms:.1f} ms here)",
-          file=sys.stderr)
+    print(f"10-step DDIM closed-loop replan p50 (cached goal, incl. D2H "
+          f"fetch): {p50:.1f} ms (target < 30 ms; tunnel RTT floor "
+          f"{rtt_floor_ms:.1f} ms here)", file=sys.stderr)
 
     # device-side re-plan latency without the per-call tunnel round trip:
-    # chain each sample on the previous chunk (data dependency inside the
+    # chain each replan on the previous chunk (data dependency inside the
     # jitted program, so no dispatch can run ahead) and fetch once at the
     # end — what a policy co-located with its TPU (the production
     # deployment) would see
-    out = sample(*args, jax.random.PRNGKey(0), zero)
+    out = replan(*args, keys[0], zero)
     n_chain, chain_ms = 20, []
     for rep in range(2):  # best-of-2: guards against transient tunnel stalls
         t0 = time.perf_counter()
         for i in range(n_chain):
-            out = sample(*args, jax.random.PRNGKey(i), out)
+            out = replan(*args, keys[i], out)
         np.asarray(out)
         chain_ms.append((time.perf_counter() - t0) / n_chain * 1e3)
     device_ms = min(chain_ms)
@@ -337,6 +385,7 @@ def section_full(B: int) -> dict:
         "mxu_pct": round(mxu_pct, 1) if mxu_pct else None,
         "ceiling": round(2 * B * V5E_PEAK_FLOPS / flops, 0) if flops else None,
         "p50_ms": round(p50, 2),
+        "goal_encode_ms": round(goal_ms, 2),
         "device_ms": round(device_ms, 2),
         "rtt_floor_ms": round(rtt_floor_ms, 2),
         "compile_s": round(compile_s, 1),
@@ -414,6 +463,154 @@ def section_precomputed(B: int) -> dict:
         "tflop": round(flops / 1e12, 2) if flops else None,
         "compile_s": round(compile_s, 1),
     }
+
+
+# --------------------------------------------------------------------------
+# section: sustained — cache-mode training END TO END, loader to optimizer
+# --------------------------------------------------------------------------
+
+def section_sustained(B: int, *, frames: int = 2500, seconds: float = 30.0,
+                      aug_variants: int = 2) -> dict:
+    """Sustained cache-mode training throughput with the REAL input pipeline
+    overlapped: on-disk CALVIN-format split -> sharded BatchLoader decode
+    threads -> DevicePrefetcher (H2D + jitted preprocessing ahead of the
+    step) -> the full three-loss cache-mode train step, timed over >=30 s of
+    wall clock. This is the number the step-only `precomputed` section does
+    NOT give: loader, transfer and compute contend for this host's cores and
+    the tunnel, exactly like a real training run (ref DataLoader worker
+    sizing, hulc_data_module.py:136-147). The dataset carries K fabricated
+    DrQ-variant arrays (production recipe: cache mode + aug variants), and
+    the standalone loader feed rate is measured in the same process for the
+    honest core-budget accounting."""
+    import shutil
+    from pathlib import Path
+
+    import jax
+    import jax.numpy as jnp
+    from mdt_policy_tpu.agents import init_agent, train_step
+    from mdt_policy_tpu.data.bench_loader import (fabricate_embedding_cache,
+                                                  generate_dataset)
+    from mdt_policy_tpu.data.dataset import CalvinDataset
+    from mdt_policy_tpu.data.extract import extract_by_key, extract_frames
+    from mdt_policy_tpu.data.loader import (BatchLoader, DevicePrefetcher,
+                                            DualStreamLoader, Preprocessor)
+    from mdt_policy_tpu.parallel import make_mesh, shard_batch
+    from mdt_policy_tpu.training import cache_mode_config
+
+    cfg = cache_mode_config()
+    # smoke knobs (CPU plumbing checks); the driver runs the defaults
+    seconds = float(os.environ.get("MDT_BENCH_SUSTAINED_SECONDS", seconds))
+    frames = int(os.environ.get("MDT_BENCH_SUSTAINED_FRAMES", frames))
+    tmp = tempfile.mkdtemp(prefix="mdt_bench_sustained_")
+    try:
+        print(f"fabricating {frames}-frame split + embedding cache "
+              f"(K={aug_variants}) ...", file=sys.stderr, flush=True)
+        root = generate_dataset(Path(tmp), frames, with_lang=True)
+        extract_by_key(root)
+        extract_frames(root)
+        fabricate_embedding_cache(root, aug_variants=aug_variants,
+                                  lang_goals=True)
+
+        kw = dict(min_window_size=21, max_window_size=50,
+                  use_extracted_rel_actions=True, use_extracted_frames=True,
+                  use_extracted_embeddings=True,
+                  embedding_aug_variants=aug_variants)
+        ds_vis = CalvinDataset(root, key="vis", **kw)
+        ds_lang = CalvinDataset(root, key="lang", **kw)
+        loader = DualStreamLoader(
+            BatchLoader(ds_vis, B, seed=0, prefetch=2),
+            BatchLoader(ds_lang, B, seed=1, prefetch=2))
+        n_workers = loader.vis.num_workers + loader.lang.num_workers
+
+        mesh = make_mesh(jax.devices()[:1])
+        pp = Preprocessor(static_size=cfg.img_size, gripper_size=84,
+                          gen_size=cfg.gen_img_res)
+        # the step consumes exactly these keys; shipping idx/robot_obs/
+        # lang_emb would pad the H2D bytes with dead weight
+        step_keys = ("voltron_tokens", "image_latent_goal",
+                     "lang_latent_goal", "gen_static", "gen_gripper",
+                     "actions")
+
+        def device_batch(key, raw):
+            out = {}
+            for i, scope in enumerate(sorted(raw.keys())):
+                arrays = {k: v for k, v in raw[scope].items()
+                          if k in step_keys}
+                sharded = shard_batch(arrays, mesh)
+                out[scope] = pp.train_batch(jax.random.fold_in(key, i), sharded)
+            return out
+
+        raw0 = next(iter(loader))
+        batch0 = device_batch(jax.random.PRNGKey(100), raw0)
+        print(f"init cache-mode (B={B}/modality) ...", file=sys.stderr)
+        net, state = init_agent(cfg, jax.random.PRNGKey(0), batch0["lang"])
+        jitted = jax.jit(partial(train_step, net), donate_argnums=(0,))
+        key = jax.random.PRNGKey(7)
+
+        def drain(state):
+            np.asarray(state.params["inner"]["tok_emb"]["kernel"][0, 0])
+
+        t0 = time.perf_counter()
+        compiled = jitted.lower(state, batch0, key).compile()
+        state, _ = compiled(state, batch0, key)
+        drain(state)
+        compile_s = time.perf_counter() - t0
+        print(f"compile+first-run: {compile_s:.1f}s", file=sys.stderr)
+
+        prefetcher = DevicePrefetcher(iter(loader), device_batch,
+                                      jax.random.PRNGKey(101), depth=2)
+        # warm: one pipelined step settles the prefetch queue + H2D path
+        state, _ = compiled(state, next(prefetcher), jax.random.fold_in(key, 0))
+        drain(state)
+
+        n_chunks, n_steps = 0, 0
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < seconds:
+            b = next(prefetcher)
+            state, _ = compiled(state, b, jax.random.fold_in(key, n_steps + 1))
+            n_steps += 1
+            n_chunks += 2 * B
+            if n_steps % 16 == 0:
+                drain(state)  # keep the dispatch queue honest mid-run
+        drain(state)  # the donation chain forces every step to have executed
+        dt = time.perf_counter() - t0
+        cps = n_chunks / dt
+        print(f"SUSTAINED cache-mode training: {n_steps} steps, "
+              f"{n_chunks} chunks in {dt:.1f}s -> {cps:.0f} chunks/s "
+              f"({n_workers} decode thread(s), {os.cpu_count()} host core(s))",
+              file=sys.stderr)
+        prefetcher.close()
+        loader.close()
+
+        # standalone loader feed rate (no device work) — same process, same
+        # page-cache state: what the host alone can decode per second
+        feed_loader = DualStreamLoader(
+            BatchLoader(ds_vis, B, seed=2, prefetch=2),
+            BatchLoader(ds_lang, B, seed=3, prefetch=2))
+        it = iter(feed_loader)
+        next(it)
+        t0 = time.perf_counter()
+        fed = 0
+        while time.perf_counter() - t0 < 10.0:
+            next(it)
+            fed += 2 * B
+        feed_cps = fed / (time.perf_counter() - t0)
+        feed_loader.close()
+        print(f"standalone loader feed: {feed_cps:.0f} chunks/s on this host",
+              file=sys.stderr)
+
+        return {
+            "chunks_per_sec": round(cps, 1),
+            "steps": n_steps,
+            "seconds": round(dt, 1),
+            "loader_feed_chunks_per_sec": round(feed_cps, 1),
+            "decode_threads": n_workers,
+            "host_cores": os.cpu_count(),
+            "aug_variants": aug_variants,
+            "compile_s": round(compile_s, 1),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # --------------------------------------------------------------------------
@@ -502,27 +699,52 @@ def section_mdt(B: int = 256) -> dict:
     import jax
     from mdt_policy_tpu.agents import MDTConfig, init_mdt_agent, train_step
 
+    cfg = MDTConfig()
     rng = np.random.default_rng(0)
     batch = _make_batch(B, rng)
     print(f"init MDT (B={B} per modality) ...", file=sys.stderr)
-    net, state = init_mdt_agent(MDTConfig(), jax.random.PRNGKey(0),
-                                batch["lang"])
+    net, state = init_mdt_agent(cfg, jax.random.PRNGKey(0), batch["lang"])
     jitted = jax.jit(partial(train_step, net), donate_argnums=(0,))
     key = jax.random.PRNGKey(3)
     t0 = time.perf_counter()
-    state, _ = jitted(state, batch, key)
+    # one compile, reused for cost analysis and the loops (see section_full)
+    compiled = jitted.lower(state, batch, key).compile()
+    # exact-FLOP accounting, same method as the MDT-V headline (VERDICT r4
+    # #6): XLA's own count + the analytic Pallas custom-call FLOPs of the
+    # frozen CLIP goal towers (the trainable ResNets are XLA convs, counted)
+    flops = None
+    try:
+        cost = compiled.cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops = float(cost.get("flops")) if cost and cost.get("flops") else None
+    except Exception as e:
+        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+    if flops:
+        from mdt_policy_tpu.utils.flops import mdt_tower_custom_call_flops
+        flops += mdt_tower_custom_call_flops(cfg, B)
+    state, _ = compiled(state, batch, key)
     np.asarray(state.params["inner"]["tok_emb"]["kernel"][0, 0])
     compile_s = time.perf_counter() - t0
     dts = []
     for rep in range(2):
         t0 = time.perf_counter()
         for i in range(4):
-            state, _ = jitted(state, batch, jax.random.fold_in(key, rep * 4 + i))
+            state, _ = compiled(state, batch, jax.random.fold_in(key, rep * 4 + i))
         np.asarray(state.params["inner"]["tok_emb"]["kernel"][0, 0])
         dts.append((time.perf_counter() - t0) / 4)
-    cps = 2 * B / min(dts)
-    print(f"MDT (ResNet) full train step: {cps:.0f} chunks/s", file=sys.stderr)
-    return {"chunks_per_sec": round(cps, 1), "compile_s": round(compile_s, 1)}
+    dt = min(dts)
+    cps = 2 * B / dt
+    mxu_pct = (flops / dt / V5E_PEAK_FLOPS * 100) if flops else None
+    print(f"MDT (ResNet) full train step: {cps:.0f} chunks/s"
+          + (f" | {flops/1e12:.1f} TFLOP/step, MXU {mxu_pct:.0f}%"
+             if flops else ""), file=sys.stderr)
+    return {
+        "chunks_per_sec": round(cps, 1),
+        "flops_tflop": round(flops / 1e12, 2) if flops else None,
+        "mxu_pct": round(mxu_pct, 1) if mxu_pct else None,
+        "ceiling": round(2 * B * V5E_PEAK_FLOPS / flops, 0) if flops else None,
+        "compile_s": round(compile_s, 1),
+    }
 
 
 # --------------------------------------------------------------------------
@@ -584,6 +806,7 @@ def run_section(name: str, out_path: str, B: int) -> None:
     fn = {
         "full": section_full,
         "precomputed": section_precomputed,
+        "sustained": section_sustained,
         "denoiser": lambda B: section_denoiser(max(B, 512)),
         "mdt": lambda B: section_mdt(min(B, 256)),
         "disk": section_disk,

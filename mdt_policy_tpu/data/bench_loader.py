@@ -92,32 +92,55 @@ def bench(root: Path, *, batch_size: int = 128, steps: int = 50,
 
 def fabricate_embedding_cache(root: Path, *, n_tokens: int = 784,
                               dim: int = 384, emb_dim: int = 512,
-                              seed: int = 1) -> Path:
+                              seed: int = 1, aug_variants: int = 0,
+                              lang_goals: bool = False) -> Path:
     """Write PRODUCTION-SHAPE extracted embedding arrays with random bits
     (data/extract_embeddings.py layout). The loader's assembly cost is pure
     memory movement — independent of the values — so the cache-mode input
     path can be benchmarked without ever running the towers. Requires
-    extracted/ep_npz_names.list (run extract.extract_by_key first)."""
+    extracted/ep_npz_names.list (run extract.extract_by_key first).
+    aug_variants>0 also fabricates the K-variant DrQ arrays; lang_goals
+    fabricates ep_lang_goal_emb.npy rows for the split's annotations."""
     root = Path(root)
     ex = root / "extracted"
     with open(ex / "ep_npz_names.list") as f:
         n = sum(1 for _ in f)
     rng = np.random.default_rng(seed)
-    tok = np.lib.format.open_memmap(ex / "ep_voltron_tokens.npy", mode="w+",
-                                    dtype=np.uint16, shape=(n, n_tokens, dim))
-    # fill chunked (a (N, 784, 384) random draw at once would be slow/large)
-    step = max(1, 10**8 // (n_tokens * dim))
-    for lo in range(0, n, step):
-        hi = min(n, lo + step)
-        tok[lo:hi] = rng.integers(0, 2**16, (hi - lo, n_tokens, dim),
-                                  dtype=np.uint16)
-    tok.flush()
+
+    def fill_u16(path, shape):
+        mm = np.lib.format.open_memmap(path, mode="w+", dtype=np.uint16,
+                                       shape=shape)
+        flat = mm.reshape(-1)
+        # fill chunked (one giant random draw would be slow/large); values
+        # are bf16 bit patterns — loader cost is independent of them, and
+        # capping the exponent below inf/nan keeps any consumer math finite
+        step = 10 ** 8
+        for lo in range(0, flat.size, step):
+            hi = min(flat.size, lo + step)
+            flat[lo:hi] = rng.integers(0, 0x3f80, hi - lo, dtype=np.uint16)
+        mm.flush()
+        return mm
+
+    fill_u16(ex / "ep_voltron_tokens.npy", (n, n_tokens, dim))
     np.save(ex / "ep_clip_img_emb.npy",
             rng.normal(size=(n, emb_dim)).astype(np.float32))
+    if aug_variants:
+        fill_u16(ex / "ep_voltron_tokens_aug.npy",
+                 (n, aug_variants, n_tokens, dim))
+        np.save(ex / "ep_clip_img_emb_aug.npy",
+                rng.normal(size=(n, aug_variants, emb_dim)).astype(np.float32))
+    if lang_goals:
+        ann_path = root / "auto_lang_ann.npy"
+        if ann_path.exists():
+            ann = np.load(ann_path, allow_pickle=True).item()
+            n_ann = len(ann["language"]["ann"])
+            np.save(ex / "ep_lang_goal_emb.npy",
+                    rng.normal(size=(n_ann, emb_dim)).astype(np.float32))
     (ex / "embeddings_meta.json").write_text(json.dumps({
         "voltron_tokens": {"dtype": "bfloat16 (uint16 bits)",
                            "shape": [n, n_tokens, dim]},
         "clip_img_emb": {"dtype": "float32", "shape": [n, emb_dim]},
+        "aug_variants": aug_variants,
         "source": "bench_loader.fabricate_embedding_cache",
     }))
     return ex

@@ -109,6 +109,7 @@ class CalvinDataset:
         use_extracted_rel_actions: bool = True,
         use_extracted_frames: bool = True,
         use_extracted_embeddings: bool = False,
+        embedding_aug_variants: int = 0,
         skip_frames: int = 1,
         seed: int = 0,
         proprio: bool = False,
@@ -203,6 +204,32 @@ class CalvinDataset:
                                              mmap_mode="r")
             self.ex_clip_img_emb = np.load(ex_dir / "ep_clip_img_emb.npy",
                                            mmap_mode="r")
+            # DrQ-augmented variant arrays (extract_embeddings --aug-variants):
+            # train draws sample one of K cached shift variants per frame —
+            # the cache-mode equivalent of the in-program RandomShiftsAug.
+            # Validation splits keep the clean arrays (the reference's val
+            # pipelines apply no aug).
+            self.aug_variants = 0 if self.validation \
+                else int(embedding_aug_variants)
+            if self.aug_variants:
+                from .extract_embeddings import AUG_EMBEDDING_FILES
+                missing = [f for f in AUG_EMBEDDING_FILES
+                           if not (ex_dir / f).exists()]
+                if missing:
+                    raise FileNotFoundError(
+                        f"{missing} missing under {ex_dir} — re-run "
+                        "mdt_policy_tpu.data.extract_embeddings with "
+                        f"--aug-variants {embedding_aug_variants}, or unset "
+                        "embedding_aug_variants")
+                self.ex_voltron_tokens_aug = np.load(
+                    ex_dir / "ep_voltron_tokens_aug.npy", mmap_mode="r")
+                self.ex_clip_img_emb_aug = np.load(
+                    ex_dir / "ep_clip_img_emb_aug.npy", mmap_mode="r")
+                k_cached = self.ex_voltron_tokens_aug.shape[1]
+                if self.aug_variants > k_cached:
+                    raise ValueError(
+                        f"embedding_aug_variants={self.aug_variants} but the "
+                        f"cache holds only {k_cached} variants")
             # optional text-goal cache (per annotation sentence): with it the
             # train step runs NO tower at all; absent -> the in-program CLIP
             # text tower encodes lang_tokens as usual
@@ -309,10 +336,20 @@ class CalvinDataset:
         if self.use_embeddings:
             import ml_dtypes
             row = self.ex_name_to_idx[start_idx]  # obs_seq_len == 1
-            sample["voltron_tokens"] = np.asarray(
-                self.ex_voltron_tokens[row]).view(ml_dtypes.bfloat16)
-            sample["image_latent_goal"] = np.asarray(
-                self.ex_clip_img_emb[self.ex_name_to_idx[goal_idx]], np.float32)
+            goal_row = self.ex_name_to_idx[goal_idx]
+            if self.aug_variants:
+                # one cached shift variant per draw — obs and goal frames
+                # draw independently, like the in-program per-frame shifts
+                k_obs, k_goal = self.rng.integers(0, self.aug_variants, 2)
+                sample["voltron_tokens"] = np.asarray(
+                    self.ex_voltron_tokens_aug[row, k_obs]).view(ml_dtypes.bfloat16)
+                sample["image_latent_goal"] = np.asarray(
+                    self.ex_clip_img_emb_aug[goal_row, k_goal], np.float32)
+            else:
+                sample["voltron_tokens"] = np.asarray(
+                    self.ex_voltron_tokens[row]).view(ml_dtypes.bfloat16)
+                sample["image_latent_goal"] = np.asarray(
+                    self.ex_clip_img_emb[goal_row], np.float32)
             if self.with_lang and self.ex_lang_goal is not None:
                 sample["lang_latent_goal"] = np.asarray(
                     self.ex_lang_goal[int(self.lang_lookup[idx])], np.float32)
@@ -399,10 +436,20 @@ class CalvinDataset:
         if self.use_embeddings:
             import ml_dtypes
             obs_rows = self._ex_rows(starts)  # obs_seq_len == 1
-            batch["voltron_tokens"] = np.asarray(
-                self.ex_voltron_tokens[obs_rows]).view(ml_dtypes.bfloat16)
-            batch["image_latent_goal"] = np.asarray(
-                self.ex_clip_img_emb[self._ex_rows(goal_ids)], np.float32)
+            if self.aug_variants:
+                k_obs = rng.integers(0, self.aug_variants, B)
+                k_goal = rng.integers(0, self.aug_variants, B)
+                batch["voltron_tokens"] = np.asarray(
+                    self.ex_voltron_tokens_aug[obs_rows, k_obs]
+                ).view(ml_dtypes.bfloat16)
+                batch["image_latent_goal"] = np.asarray(
+                    self.ex_clip_img_emb_aug[self._ex_rows(goal_ids), k_goal],
+                    np.float32)
+            else:
+                batch["voltron_tokens"] = np.asarray(
+                    self.ex_voltron_tokens[obs_rows]).view(ml_dtypes.bfloat16)
+                batch["image_latent_goal"] = np.asarray(
+                    self.ex_clip_img_emb[self._ex_rows(goal_ids)], np.float32)
             if self.with_lang and self.ex_lang_goal is not None:
                 batch["lang_latent_goal"] = np.asarray(
                     self.ex_lang_goal[self.lang_lookup[idxs]], np.float32)

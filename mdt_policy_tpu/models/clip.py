@@ -72,7 +72,9 @@ def clip_config_from_state_dict(sd) -> dict:
                              if re.fullmatch(r"visual\.transformer\.resblocks"
                                              r"\.\d+\.attn\.in_proj_weight", k)])
         vision_patch_size = sd["visual.conv1.weight"].shape[-1]
-        grid = int((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5)
+        # round() like the reference build_model (clip.py:469): int() would
+        # truncate a float-imprecise sqrt of a large perfect square to grid-1
+        grid = round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5)
         image_resolution = vision_patch_size * grid
         embed_dim = sd["visual.proj"].shape[1]
     else:
@@ -81,7 +83,7 @@ def clip_config_from_state_dict(sd) -> dict:
         vision_layers = tuple(counts)
         vision_width = sd["visual.layer1.0.conv1.weight"].shape[0]
         vision_patch_size = None
-        output_width = int(
+        output_width = round(  # round(), not int(): see grid above (ref :479)
             (sd["visual.attnpool.positional_embedding"].shape[0] - 1) ** 0.5)
         image_resolution = output_width * 32
         embed_dim = sd["visual.attnpool.c_proj.weight"].shape[0]

@@ -10,12 +10,15 @@ paraphrase-MiniLM model: a BERT encoder + attention-masked mean pooling,
 it as `model.encode(...)`).
 
 This module implements that architecture in Flax so the annotation pipeline
-can emit MiniLM-shaped embeddings without the external package:
+can emit MiniLM-shaped embeddings without sentence-transformers (the
+`transformers` tokenizer + torch/safetensors weight loading are still
+required — install the `annotate` extra):
 `MiniLMEncoder` is a standard post-LN BERT encoder, `port_minilm_weights`
 maps a HuggingFace ``BertModel`` state_dict (the storage format of the
 published sentence-transformer folders) 1:1 onto it, and
 `minilm_embed_fn` wires a local model directory (config.json + weights +
-vocab.txt — no egress) into the annotator's ``embed(sentence)`` contract.
+vocab.txt — no egress at embed time) into the annotator's
+``embed(sentence)`` contract.
 Architecture parity vs torch ``transformers.BertModel`` + mean pooling is
 tested in tests/test_minilm.py; with real published weights the same port
 path loads them bit-for-bit.
@@ -121,9 +124,11 @@ def port_minilm_weights(sd: Mapping) -> Dict:
             t = t.detach().cpu().numpy()
         return np.asarray(t, np.float32)
 
-    # normalize prefixes
-    sd = {k.split("bert.", 1)[-1] if k.startswith("bert.") else k: v
-          for k, v in sd.items()}
+    # normalize prefixes (bare HF, `bert.`-prefixed, and the
+    # sentence-transformers `0_Transformer.`-prefixed flat layouts)
+    for pfx in ("bert.", "0_Transformer."):
+        sd = {k[len(pfx):] if k.startswith(pfx) else k: v
+              for k, v in sd.items()}
     sd = {k: v for k, v in sd.items() if not k.startswith("pooler.")}
 
     def dense(pfx):

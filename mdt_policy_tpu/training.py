@@ -49,8 +49,14 @@ class DataConfig:
     # executes the camera towers (~60 of ~75 TFLOP/step). mdtv only. The
     # cache is tied to the tower weights it was extracted with — warm-start
     # the run (trainer.pretrain_checkpoint) from the same towers so training-
-    # time rollouts/conversions stay coherent. No DrQ shift aug in this mode.
+    # time rollouts/conversions stay coherent.
     use_extracted_embeddings: bool = False
+    # >0: cache-mode training samples one of K cached DrQ-shift-augmented
+    # embedding variants per draw (extract_embeddings --aug-variants K must
+    # have produced them) — restores the reference's RandomShiftsAug to the
+    # fast path; 0 trains on clean eval-pipeline embeddings (no aug).
+    # Validation always uses the clean arrays.
+    embedding_aug_variants: int = 0
     num_workers: Optional[int] = None   # decode threads (None = min(8, cpus))
     proprio: bool = False               # 8-d state_obs via statistics.yaml
     # depth observation keys loaded from the episode files (e.g.
@@ -278,6 +284,10 @@ def _real_loaders(cfg: RunConfig, split: str = "training", context_length: int =
               use_extracted_rel_actions=cfg.data.use_extracted_rel_actions,
               use_extracted_frames=cfg.data.use_extracted_frames,
               use_extracted_embeddings=cfg.data.use_extracted_embeddings,
+              # validation keeps clean embeddings (CalvinDataset also guards
+              # on its own `validation` flag; this keeps the intent explicit)
+              embedding_aug_variants=(cfg.data.embedding_aug_variants
+                                      if split == "training" else 0),
               proprio=cfg.data.proprio,
               depth_keys=tuple(cfg.data.depth_keys),
               include_scene_obs=include_scene_obs,

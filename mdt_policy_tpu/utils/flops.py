@@ -20,7 +20,8 @@ frozen with stop_gradient outputs, so each appears in the step exactly once
 
 from __future__ import annotations
 
-__all__ = ["attention_matmul_flops", "tower_custom_call_flops"]
+__all__ = ["attention_matmul_flops", "tower_custom_call_flops",
+           "mdt_tower_custom_call_flops"]
 
 
 def attention_matmul_flops(batch: int, seq: int, channels: int,
@@ -56,11 +57,34 @@ def tower_custom_call_flops(cfg, B: int) -> float:
     if not resolve_fused_attention(cfg):
         return 0.0
     n_vit = (cfg.img_size // cfg.vit_patch) ** 2
-    n_clip = (cfg.img_size // cfg.clip_vision_patch) ** 2 + 1
     return (attention_matmul_flops(4 * B, n_vit, cfg.perceiver_dim,
                                    cfg.vit_depth)
-            + attention_matmul_flops(2 * B, n_clip, cfg.clip_vision_width,
-                                     cfg.clip_vision_layers)
-            + attention_matmul_flops(B, cfg.clip_context_length,
-                                     cfg.clip_text_width,
-                                     cfg.clip_text_layers))
+            + _clip_goal_tower_flops(cfg, B))
+
+
+def _clip_goal_tower_flops(cfg, B: int) -> float:
+    """Pallas attention FLOPs of the frozen CLIP goal towers shared by both
+    agent families: vision goal over 2 scopes x B goal frames + text over the
+    lang scope's B sentences. The ModifiedResNet goal-tower family is XLA
+    convolutions + an einsum attention pool — no Pallas calls."""
+    vision = 0.0
+    if getattr(cfg, "clip_vision_family", "vit") != "resnet":
+        n_clip = (cfg.img_size // cfg.clip_vision_patch) ** 2 + 1
+        vision = attention_matmul_flops(2 * B, n_clip, cfg.clip_vision_width,
+                                        cfg.clip_vision_layers)
+    return vision + attention_matmul_flops(B, cfg.clip_context_length,
+                                           cfg.clip_text_width,
+                                           cfg.clip_text_layers)
+
+
+def mdt_tower_custom_call_flops(cfg, B: int) -> float:
+    """Per-train-step Pallas custom-call FLOPs of the MDT (ResNet) agent at
+    batch B per modality stream (round-4 VERDICT #6: give the MDT family the
+    same exact-FLOP accounting as MDT-V). Only the frozen CLIP goal towers
+    route through the Pallas attention kernel — the trainable per-camera
+    ResNets are XLA convolutions, already in cost_analysis' count."""
+    from mdt_policy_tpu.agents.mdtv_agent import resolve_fused_attention
+
+    if not resolve_fused_attention(cfg):
+        return 0.0
+    return _clip_goal_tower_flops(cfg, B)

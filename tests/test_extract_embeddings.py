@@ -88,6 +88,99 @@ def test_extract_and_loss_parity(tmp_path):
                                    rtol=5e-3, atol=5e-3, err_msg=k)
 
 
+def test_aug_variant_parity_and_dataset(tmp_path):
+    """DrQ-augmented cache variants (--aug-variants): the stored rows are
+    bit-exactly what the in-program full-mode sequence (resize -> RandomShift
+    with the same key -> CLIP-normalize -> frozen towers) produces, and the
+    cache-mode dataset samples one cached variant per draw."""
+    import jax
+    import ml_dtypes
+
+    from mdt_policy_tpu.data import CalvinDataset
+    from mdt_policy_tpu.data.extract import extract_frames
+    from mdt_policy_tpu.data.extract_embeddings import extract_embeddings
+    from mdt_policy_tpu.data.transforms import preprocess_rgb_train
+
+    rng = np.random.default_rng(8)
+    split = tmp_path / "calvin" / "training"
+    _write_split(split, 40, rng)
+    extract_frames(split)
+
+    net, params = _tiny_agent()
+    K = 2
+    out = extract_embeddings(split, net, params, batch_size=8,
+                             aug_variants=K, aug_seed=5)
+    aug_tok = np.load(out / "ep_voltron_tokens_aug.npy")
+    aug_emb = np.load(out / "ep_clip_img_emb_aug.npy")
+    assert aug_tok.shape == (40, K, 8, 32) and aug_tok.dtype == np.uint16
+    assert aug_emb.shape == (40, K, 16) and aug_emb.dtype == np.float32
+    import json
+    meta = json.loads((out / "embeddings_meta.json").read_text())
+    assert meta["aug_variants"] == K and meta["aug_seed"] == 5
+
+    # --- fixed-shift parity vs the in-program aug+tower path: recompute one
+    # (variant, batch) block with an INDEPENDENT composition of the
+    # production train pipeline + towers (the exact sequence
+    # loader.Preprocessor._train_impl feeds the full-mode step) ---
+    ex_frames = {k: np.load(out / f"ep_{k}.npy", mmap_mode="r")
+                 for k in ("rgb_static", "rgb_gripper")}
+    k_var, lo = 1, 8
+    rows = np.arange(lo, lo + 8)
+    key = jax.random.fold_in(
+        jax.random.fold_in(jax.random.PRNGKey(5), k_var), lo)
+
+    @jax.jit
+    def inprogram(static_u8, gripper_u8, key):
+        k1, k2 = jax.random.split(key)
+        s = preprocess_rgb_train(k1, static_u8, size=32, shift_pad=10)
+        g = preprocess_rgb_train(k2, gripper_u8, size=32, shift_pad=4)
+        tok = net.apply({"params": params}, s, g,
+                        method="voltron_camera_tokens")
+        emb = net.apply({"params": params}, s, method="encode_visual_goal")
+        return tok, emb
+
+    tok_ref, emb_ref = jax.device_get(inprogram(
+        np.asarray(ex_frames["rgb_static"][rows]),
+        np.asarray(ex_frames["rgb_gripper"][rows]), key))
+    np.testing.assert_array_equal(aug_tok[rows, k_var],
+                                  tok_ref.view(np.uint16))
+    np.testing.assert_array_equal(aug_emb[rows, k_var], emb_ref)
+
+    # --- dataset: every training draw serves one of the K cached variants;
+    # the clean (eval-pipeline) rows are NOT served when aug is on ---
+    clean_tok = np.load(out / "ep_voltron_tokens.npy")
+    kw = dict(key="vis", min_window_size=21, max_window_size=30,
+              use_extracted_embeddings=True, embedding_aug_variants=K)
+    ds = CalvinDataset(split, **kw)
+    assert ds.aug_variants == K
+    seen = set()
+    for i in (0, 1, 2, 0, 0, 0):
+        s = ds[i]
+        row = int(ds.ex_name_to_idx[int(ds.episode_lookup[i])])
+        bits = s["voltron_tokens"].view(np.uint16)
+        matches = [k for k in range(K)
+                   if np.array_equal(bits, aug_tok[row, k])]
+        assert len(matches) == 1, "sample must be exactly one cached variant"
+        assert not np.array_equal(bits, clean_tok[row])
+        seen.update(matches)
+    assert len(seen) == K, "both variants should appear across draws"
+
+    # vectorized batch path serves variants too, consistently per sample
+    fast = ds.get_batch(np.array([0, 1, 2, 3]))
+    for b in range(4):
+        row = int(ds.ex_name_to_idx[int(ds.episode_lookup[b])])
+        bits = fast["voltron_tokens"][b].view(np.uint16)
+        assert any(np.array_equal(bits, aug_tok[row, k]) for k in range(K))
+
+    # validation datasets ignore the flag (clean embeddings, no aug)
+    val_split = tmp_path / "calvin" / "validation"
+    _write_split(val_split, 40, np.random.default_rng(9))
+    extract_frames(val_split)
+    extract_embeddings(val_split, net, params, batch_size=8)
+    ds_val = CalvinDataset(val_split, **kw)
+    assert ds_val.aug_variants == 0
+
+
 def test_vectorized_batch_matches_items(tmp_path):
     """get_batch fast path emits the same embedding rows as __getitem__."""
     from mdt_policy_tpu.data import CalvinDataset
@@ -152,8 +245,11 @@ def test_training_cli_with_extracted_embeddings(tmp_path):
 
     from mdt_policy_tpu.data.extract_embeddings import main as extract_main
     for split in ("training", "validation"):
+        # training split also caches 2 DrQ-shift variants per frame
+        aug = ["--aug-variants", "2"] if split == "training" else []
         extract_main(["-i", str(data_root / split),
-                      "--train-folder", str(run_dir), "--batch-size", "16"])
+                      "--train-folder", str(run_dir), "--batch-size", "16",
+                      *aug])
         assert (data_root / split / "extracted"
                 / "ep_voltron_tokens.npy").exists()
         # the text-goal cache rides along (one row per annotation sentence)
@@ -176,7 +272,8 @@ def test_training_cli_with_extracted_embeddings(tmp_path):
     emb_cfg = RunConfig(
         agent="mdtv", log_dir=str(tmp_path / "runs"), run_name="fromcache",
         data=DataConfig(root_data_dir=str(data_root), min_window_size=21,
-                        max_window_size=30, use_extracted_embeddings=True),
+                        max_window_size=30, use_extracted_embeddings=True,
+                        embedding_aug_variants=2),
         trainer=TrainerConfig(batch_size=2, max_epochs=1, steps_per_epoch=2,
                               limit_val_batches=1, seed=0, log_every=1,
                               pretrain_checkpoint=str(run_dir / "checkpoints")),

@@ -10,6 +10,11 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+# the MiniLM embedder's tokenizer/weight-loading path needs the `annotate`
+# extra (transformers + torch); skip — not error — when absent
+pytest.importorskip("transformers")
+pytest.importorskip("torch")
+
 TINY = dict(vocab_size=50, hidden_size=32, num_layers=2, num_heads=2,
             intermediate_size=64, max_position_embeddings=24,
             type_vocab_size=2)
@@ -57,6 +62,15 @@ def test_minilm_parity_vs_torch_bert():
                                 jnp.asarray(ids.astype(np.int32)),
                                 jnp.asarray(mask.astype(np.int32))))
     np.testing.assert_allclose(ours, ref_emb, rtol=1e-4, atol=1e-5)
+
+    # prefixed key layouts land identically (round-4 ADVICE: the
+    # sentence-transformers flat `0_Transformer.` layout was documented but
+    # not normalized)
+    import jax
+    for pfx in ("bert.", "0_Transformer."):
+        prefixed = {pfx + k: v for k, v in ref.state_dict().items()}
+        p2 = port_minilm_weights(prefixed)
+        assert jax.tree.all(jax.tree.map(np.array_equal, params, p2))
 
 
 def test_minilm_l3_output_shape():
