@@ -50,6 +50,7 @@ SECTIONS = (
     ("sustained", 2400),
     ("denoiser", 1200),
     ("mdt", 1500),
+    ("aot", 900),
     ("disk", 1200),
 )
 
@@ -107,6 +108,7 @@ def orchestrate(B: int) -> None:
     sus = results.get("sustained", {})
     den = results.get("denoiser", {})
     mdt = results.get("mdt", {})
+    aot = results.get("aot", {})
     disk_res = results.get("disk", {})
     disk = disk_res.get("disk")
     # null — not 0.0 — when the full section produced no result: a failed
@@ -176,6 +178,14 @@ def orchestrate(B: int) -> None:
             # vs XLA compile (near-zero when the persistent cache is warm)
             "full_trace_lower_s": full.get("trace_lower_s"),
             "full_xla_compile_s": full.get("xla_compile_s"),
+            # can a serialized executable skip the remote compile service in
+            # a fresh process? (round-4 VERDICT #5; docs/BENCHMARKING.md)
+            "aot_serialize_works": aot.get("aot_serialize_works"),
+            "aot_deserialize_works": aot.get("aot_deserialize_works"),
+            "aot_detail": {k: aot.get(k) for k in
+                           ("cold_compile_s", "load_run_s", "blob_mb",
+                            "serialize_error", "deserialize_error")
+                           if aot.get(k) is not None} or None,
             "wall_time_s": round(time.perf_counter() - t_start, 1),
         },
     }))
@@ -526,7 +536,8 @@ def section_sustained(B: int, *, frames: int = 2500, seconds: float = 30.0,
         pp = Preprocessor(static_size=cfg.img_size, gripper_size=84,
                           gen_size=cfg.gen_img_res)
         # the step consumes exactly these keys; shipping idx/robot_obs/
-        # lang_emb would pad the H2D bytes with dead weight
+        # lang_emb would pad the H2D bytes with dead weight (with cached
+        # text goals, production never even tokenizes — no lang_tokens)
         step_keys = ("voltron_tokens", "image_latent_goal",
                      "lang_latent_goal", "gen_static", "gen_gripper",
                      "actions")
@@ -543,7 +554,11 @@ def section_sustained(B: int, *, frames: int = 2500, seconds: float = 30.0,
         raw0 = next(iter(loader))
         batch0 = device_batch(jax.random.PRNGKey(100), raw0)
         print(f"init cache-mode (B={B}/modality) ...", file=sys.stderr)
-        net, state = init_agent(cfg, jax.random.PRNGKey(0), batch0["lang"])
+        # init needs dummy lang_tokens to build the (frozen) text tower;
+        # the step batches themselves never carry tokens in this mode
+        init_example = {**batch0["lang"], "lang_tokens": jnp.zeros(
+            (B, cfg.clip_context_length), jnp.int32)}
+        net, state = init_agent(cfg, jax.random.PRNGKey(0), init_example)
         jitted = jax.jit(partial(train_step, net), donate_argnums=(0,))
         key = jax.random.PRNGKey(7)
 
@@ -748,6 +763,131 @@ def section_mdt(B: int = 256) -> dict:
 
 
 # --------------------------------------------------------------------------
+# section: aot — can a serialized executable skip the remote compile?
+# --------------------------------------------------------------------------
+
+def _aot_step(w1, w2, x):
+    """Small representative train-ish program (fwd + bwd + update): whether
+    the backend accepts a foreign serialized executable is program-
+    independent, so a seconds-to-compile probe answers it without paying a
+    production-size remote compile."""
+    import jax
+    import jax.numpy as jnp
+
+    def loss(w1, w2):
+        h = jnp.tanh(x @ w1)
+        return jnp.sum(jnp.square(h @ w2))
+
+    g1, g2 = jax.grad(loss, argnums=(0, 1))(w1, w2)
+    return w1 - 1e-3 * g1, w2 - 1e-3 * g2
+
+
+def _aot_args():
+    rng = np.random.default_rng(0)
+    return (rng.normal(size=(512, 512)).astype(np.float32),
+            rng.normal(size=(512, 512)).astype(np.float32),
+            rng.normal(size=(1024, 512)).astype(np.float32))
+
+
+def section_aot(_B: int) -> dict:
+    """Round-4 finding: the persistent compile cache is written but never
+    consulted by this backend — every fresh process pays the remote compile
+    service again. The untried lever (round-4 VERDICT #5): serialize the
+    compiled EXECUTABLE itself (jax.experimental.serialize_executable),
+    deserialize it in a fresh process, and run — if the backend loads it,
+    warm runs skip the compile service entirely. This section measures the
+    round trip and reports a definitive yes/no."""
+    import pickle
+    import subprocess
+
+    import jax
+
+    out: dict = {"aot_serialize_works": False, "aot_deserialize_works": False}
+    args = _aot_args()
+    t0 = time.perf_counter()
+    compiled = jax.jit(_aot_step).lower(*args).compile()
+    r1 = np.asarray(compiled(*args)[0])
+    out["cold_compile_s"] = round(time.perf_counter() - t0, 2)
+    print(f"probe program cold compile+run: {out['cold_compile_s']}s",
+          file=sys.stderr)
+
+    blob_path = os.path.join(tempfile.gettempdir(), "mdt_aot_probe.pkl")
+    try:
+        from jax.experimental.serialize_executable import serialize
+        payload, in_tree, out_tree = serialize(compiled)
+        with open(blob_path, "wb") as f:
+            pickle.dump({"payload": payload, "in_tree": in_tree,
+                         "out_tree": out_tree,
+                         "expect0": r1[:4, :4]}, f)
+        out["aot_serialize_works"] = True
+        out["blob_mb"] = round(os.path.getsize(blob_path) / 1e6, 2)
+        print(f"executable serialized: {out['blob_mb']} MB", file=sys.stderr)
+    except Exception as e:
+        out["serialize_error"] = f"{type(e).__name__}: {e}"
+        print(f"serialize FAILED: {out['serialize_error']}", file=sys.stderr)
+        return out
+
+    # fresh process: deserialize + run without ever compiling
+    child_out = os.path.join(tempfile.gettempdir(), "mdt_aot_child.json")
+    try:
+        os.unlink(child_out)
+    except OSError:
+        pass
+    code = (
+        "import jax\n"
+        # the child must target the PARENT's backend (sitecustomize
+        # pre-imports jax, so pin at the config level, not just env)
+        "jax.config.update('jax_platforms', {backend!r})\n"
+        "import sys; sys.path.insert(0, {here!r})\n"
+        "import bench; bench._aot_child({blob!r}, {out!r})\n"
+    ).format(backend=jax.default_backend(),
+             here=os.path.dirname(os.path.abspath(__file__)),
+             blob=blob_path, out=child_out)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = jax.default_backend()
+    proc = subprocess.run([sys.executable, "-c", code], timeout=600, env=env)
+    if os.path.exists(child_out):
+        with open(child_out) as f:
+            child = json.load(f)
+        out.update(child)
+        out["aot_deserialize_works"] = bool(child.get("deserialize_ok")
+                                            and child.get("values_match"))
+    else:
+        out["deserialize_error"] = f"child rc={proc.returncode}, no output"
+    print(f"AOT deserialize-and-run in a fresh process: "
+          f"{'WORKS' if out['aot_deserialize_works'] else 'does NOT work'} "
+          f"({out.get('deserialize_error', '')}"
+          f"{out.get('load_run_s', '')})", file=sys.stderr)
+    return out
+
+
+def _aot_child(blob_path: str, out_path: str) -> None:
+    """Fresh-process half of section_aot: deserialize the pickled executable
+    and run it — no lower(), no compile() anywhere in this process."""
+    import pickle
+
+    import jax
+
+    res: dict = {"deserialize_ok": False, "values_match": False}
+    try:
+        with open(blob_path, "rb") as f:
+            d = pickle.load(f)
+        t0 = time.perf_counter()
+        from jax.experimental.serialize_executable import deserialize_and_load
+        compiled = deserialize_and_load(d["payload"], d["in_tree"],
+                                        d["out_tree"])
+        res["deserialize_ok"] = True
+        r = np.asarray(compiled(*_aot_args())[0])
+        res["load_run_s"] = round(time.perf_counter() - t0, 2)
+        res["values_match"] = bool(np.allclose(r[:4, :4], d["expect0"],
+                                               rtol=1e-5, atol=1e-5))
+    except Exception as e:
+        res["deserialize_error"] = f"{type(e).__name__}: {e}"
+    with open(out_path, "w") as f:
+        json.dump(res, f)
+
+
+# --------------------------------------------------------------------------
 # section: disk — input-pipeline throughput + multi-core scaling model
 # --------------------------------------------------------------------------
 
@@ -809,6 +949,7 @@ def run_section(name: str, out_path: str, B: int) -> None:
         "sustained": section_sustained,
         "denoiser": lambda B: section_denoiser(max(B, 512)),
         "mdt": lambda B: section_mdt(min(B, 256)),
+        "aot": section_aot,
         "disk": section_disk,
     }[name]
     result = fn(B)
