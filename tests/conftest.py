@@ -20,6 +20,26 @@ jax.config.update("jax_platforms", "cpu")
 # production default (fast bf16-ish matmul on MXU) stays untouched outside tests.
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Per-SESSION persistent compile cache: many slow-tier tests compile the
+# IDENTICAL tiny-agent programs (same TINY_OVERRIDES shapes across train()
+# invocations); jax's jit cache keys on callable identity, so each test pays
+# the XLA compile again. A session-private cache dir dedupes them. Safe
+# here where the driver dryrun disables it: the blobs are written and read
+# by THIS process tree on THIS machine within one session (the loader's
+# machine-feature warning is a false positive on its own tuning
+# pseudo-features — tests/test_* and the AOT bench probe execute such
+# blobs correctly). The dir dies with the session: nothing foreign can
+# ever be loaded, and no stale blob survives a jaxlib upgrade.
+import atexit  # noqa: E402
+import shutil  # noqa: E402
+import tempfile  # noqa: E402
+
+_cache_dir = tempfile.mkdtemp(prefix="mdt_test_jaxcache_")
+atexit.register(shutil.rmtree, _cache_dir, ignore_errors=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import pytest  # noqa: E402
 
 

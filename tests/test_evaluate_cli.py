@@ -18,7 +18,7 @@ def _tiny_run(tmp_path, agent: str, run_name: str) -> RunConfig:
         agent=agent, log_dir=str(tmp_path), run_name=run_name,
         data=DataConfig(root_data_dir=None, synthetic_static_hw=32,
                         synthetic_gripper_hw=32),
-        trainer=TrainerConfig(batch_size=2, max_epochs=1, steps_per_epoch=1,
+        trainer=TrainerConfig(log_recon_images=False, batch_size=2, max_epochs=1, steps_per_epoch=1,
                               limit_val_batches=1, seed=0, log_every=1),
         agent_overrides=TINY_OVERRIDES,
     )

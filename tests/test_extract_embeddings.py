@@ -236,7 +236,7 @@ def test_training_cli_with_extracted_embeddings(tmp_path):
         agent="mdtv", log_dir=str(tmp_path / "runs"), run_name="seed",
         data=DataConfig(root_data_dir=str(data_root), min_window_size=21,
                         max_window_size=30),
-        trainer=TrainerConfig(batch_size=2, max_epochs=1, steps_per_epoch=1,
+        trainer=TrainerConfig(log_recon_images=False, batch_size=2, max_epochs=1, steps_per_epoch=1,
                               limit_val_batches=1, seed=0, log_every=1),
         agent_overrides=overrides,
     )
@@ -274,7 +274,7 @@ def test_training_cli_with_extracted_embeddings(tmp_path):
         data=DataConfig(root_data_dir=str(data_root), min_window_size=21,
                         max_window_size=30, use_extracted_embeddings=True,
                         embedding_aug_variants=2),
-        trainer=TrainerConfig(batch_size=2, max_epochs=1, steps_per_epoch=2,
+        trainer=TrainerConfig(log_recon_images=False, batch_size=2, max_epochs=1, steps_per_epoch=2,
                               limit_val_batches=1, seed=0, log_every=1,
                               pretrain_checkpoint=str(run_dir / "checkpoints")),
         agent_overrides=overrides,

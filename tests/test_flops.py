@@ -41,3 +41,27 @@ def test_tower_sum_follows_config():
     np.testing.assert_allclose(got, expect)
     # the magnitude VERDICT r2 estimated ("roughly 3 TFLOP/step")
     assert 1e12 < got < 1e13
+
+
+def test_mdt_tower_sum_follows_config():
+    """MDT (ResNet) family: only the frozen CLIP goal towers are Pallas
+    calls; the ResNet encoders are XLA convs (round-4 VERDICT #6)."""
+    import dataclasses
+    from mdt_policy_tpu.agents import MDTConfig
+    from mdt_policy_tpu.utils.flops import mdt_tower_custom_call_flops
+
+    cfg_off = dataclasses.replace(MDTConfig(), fused_tower_attention=False)
+    assert mdt_tower_custom_call_flops(cfg_off, 256) == 0.0
+
+    cfg_on = dataclasses.replace(MDTConfig(), fused_tower_attention=True)
+    B = 256
+    expect = (attention_matmul_flops(2 * B, 197, 768, 12)    # CLIP vision
+              + attention_matmul_flops(B, 77, 512, 12))      # CLIP text
+    np.testing.assert_allclose(mdt_tower_custom_call_flops(cfg_on, B), expect)
+
+    # the RN goal-tower family has no Pallas attention in the vision tower
+    cfg_rn = dataclasses.replace(MDTConfig(), fused_tower_attention=True,
+                                 clip_vision_family="resnet")
+    np.testing.assert_allclose(
+        mdt_tower_custom_call_flops(cfg_rn, B),
+        attention_matmul_flops(B, 77, 512, 12))

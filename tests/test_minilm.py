@@ -162,7 +162,7 @@ def test_evaluate_cli_consumes_minilm_embeddings(tmp_path):
         agent="mdtv", log_dir=str(tmp_path), run_name="minilmrun",
         data=DataConfig(root_data_dir=None, synthetic_static_hw=32,
                         synthetic_gripper_hw=32),
-        trainer=TrainerConfig(batch_size=2, max_epochs=1, steps_per_epoch=1,
+        trainer=TrainerConfig(log_recon_images=False, batch_size=2, max_epochs=1, steps_per_epoch=1,
                               limit_val_batches=1, seed=0, log_every=1),
         agent_overrides=TINY_OVERRIDES)
     train(run_cfg)

@@ -30,7 +30,7 @@ cfg = RunConfig(
     agent="mdtv", log_dir=sys.argv[3], run_name="mh",
     data=DataConfig(root_data_dir=None, synthetic_static_hw=32,
                     synthetic_gripper_hw=32),
-    trainer=TrainerConfig(batch_size=2, max_epochs=1, steps_per_epoch=2,
+    trainer=TrainerConfig(log_recon_images=False, batch_size=2, max_epochs=1, steps_per_epoch=2,
                           limit_val_batches=1, seed=0, log_every=1,
                           keep_checkpoints=0),
     distributed=DistributedConfig(enabled=True,

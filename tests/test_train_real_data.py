@@ -62,7 +62,7 @@ def test_train_two_steps_on_disk_dataset(tmp_path):
         agent="mdtv", log_dir=str(tmp_path / "runs"), run_name="realdata",
         data=DataConfig(root_data_dir=str(data_root), min_window_size=21,
                         max_window_size=30),
-        trainer=TrainerConfig(batch_size=2, max_epochs=1, steps_per_epoch=2,
+        trainer=TrainerConfig(log_recon_images=False, batch_size=2, max_epochs=1, steps_per_epoch=2,
                               limit_val_batches=1, seed=0, log_every=1),
         agent_overrides=overrides,
     )
@@ -99,7 +99,7 @@ def test_train_with_depth_keys(tmp_path):
         data=DataConfig(root_data_dir=str(data_root), min_window_size=21,
                         max_window_size=30,
                         depth_keys=["depth_static", "depth_gripper"]),
-        trainer=TrainerConfig(batch_size=2, max_epochs=1, steps_per_epoch=1,
+        trainer=TrainerConfig(log_recon_images=False, batch_size=2, max_epochs=1, steps_per_epoch=1,
                               limit_val_batches=1, seed=0, log_every=1,
                               keep_checkpoints=0),
         agent_overrides=overrides,
@@ -137,7 +137,7 @@ def test_single_task_rollout_callback_in_training(tmp_path):
         agent="mdtv", log_dir=str(tmp_path / "runs"), run_name="taskroll",
         data=DataConfig(root_data_dir=str(data_root), min_window_size=21,
                         max_window_size=30),
-        trainer=TrainerConfig(batch_size=2, max_epochs=1, steps_per_epoch=1,
+        trainer=TrainerConfig(log_recon_images=False, batch_size=2, max_epochs=1, steps_per_epoch=1,
                               limit_val_batches=1, seed=0, log_every=1,
                               keep_checkpoints=0),
         task_rollout=TaskRolloutConfig(

@@ -69,7 +69,7 @@ def test_mdt_variant_gets_validation_metrics(tmp_path):
         run_name="mdt-val",
         data=DataConfig(root_data_dir=None, synthetic_static_hw=32,
                         synthetic_gripper_hw=32),
-        trainer=TrainerConfig(batch_size=2, max_epochs=1, steps_per_epoch=1,
+        trainer=TrainerConfig(log_recon_images=False, batch_size=2, max_epochs=1, steps_per_epoch=1,
                               limit_val_batches=1, seed=0, log_every=1,
                               keep_checkpoints=0),
         agent_overrides=TINY_OVERRIDES,
@@ -87,7 +87,7 @@ def _tiny_cfg(tmp_path, run_name, max_epochs, keep_checkpoints=1):
         run_name=run_name,
         data=DataConfig(root_data_dir=None, synthetic_static_hw=32,
                         synthetic_gripper_hw=32),
-        trainer=TrainerConfig(batch_size=2, max_epochs=max_epochs,
+        trainer=TrainerConfig(log_recon_images=False, batch_size=2, max_epochs=max_epochs,
                               steps_per_epoch=2, limit_val_batches=1, seed=0,
                               log_every=100, keep_checkpoints=keep_checkpoints),
         agent_overrides=TINY_OVERRIDES,
@@ -160,7 +160,7 @@ def test_divergence_guard_halts_without_poisoned_checkpoint(tmp_path):
         agent="mdtv", log_dir=str(tmp_path), run_name="diverge",
         data=DataConfig(root_data_dir=None, synthetic_static_hw=32,
                         synthetic_gripper_hw=32),
-        trainer=TrainerConfig(batch_size=2, max_epochs=5, steps_per_epoch=20,
+        trainer=TrainerConfig(log_recon_images=False, batch_size=2, max_epochs=5, steps_per_epoch=20,
                               limit_val_batches=1, seed=0, log_every=1,
                               keep_checkpoints=1),
         # an absurd LR reliably reaches inf/NaN within a few AdamW steps

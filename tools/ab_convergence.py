@@ -91,12 +91,21 @@ def write_split(root: Path, n_frames: int, seed: int):
 
 
 def read_curves(run_dir: Path):
-    """(steps, train action loss, val action loss) columns of metrics.csv."""
-    rows = list(csv.DictReader(open(run_dir / "metrics.csv")))
-    tr = [(int(r["step"]), float(r["lang/action_loss"]))
-          for r in rows if r.get("lang/action_loss")]
-    va = [(int(r["step"]), float(r["val_act/action_loss"]))
-          for r in rows if r.get("val_act/action_loss")]
+    """(steps, train action loss, val action loss) columns of metrics.csv.
+    The logger rewrites the header mid-file when the schema grows (val
+    columns appear at the first epoch end), so headers are re-parsed on
+    every row that starts with 'step'."""
+    tr, va = [], []
+    header = None
+    for row in csv.reader(open(run_dir / "metrics.csv")):
+        if row and row[0] == "step":
+            header = row
+            continue
+        d = dict(zip(header, row))
+        if d.get("lang/action_loss"):
+            tr.append((int(d["step"]), float(d["lang/action_loss"])))
+        if d.get("val_act/action_loss"):
+            va.append((int(d["step"]), float(d["val_act/action_loss"])))
     return tr, va
 
 
