@@ -152,6 +152,7 @@ def orchestrate(B: int) -> None:
             "cache_mode_sustained": {
                 k: sus.get(k) for k in
                 ("steps", "seconds", "loader_feed_chunks_per_sec",
+                 "h2d_chunks_per_sec", "h2d_gbytes_per_sec",
                  "decode_threads", "host_cores", "aug_variants")
             } if sus else None,
             "mdt_resnet_chunks_per_sec": mdt.get("chunks_per_sec"),
@@ -614,11 +615,31 @@ def section_sustained(B: int, *, frames: int = 2500, seconds: float = 30.0,
         print(f"standalone loader feed: {feed_cps:.0f} chunks/s on this host",
               file=sys.stderr)
 
+        # transfer+preprocess rate alone (device_put + the jitted preprocess
+        # program, no train step): how fast H2D can move batches here.
+        # block_until_ready is NOT a trustworthy barrier on the tunnel
+        # (docs/BENCHMARKING.md) — fetch one element of a transferred leaf.
+        h2d_bytes = sum(int(np.asarray(v).nbytes)
+                        for scope in raw0.values() for k, v in scope.items()
+                        if k in step_keys)
+        t0 = time.perf_counter()
+        n_h2d = 6
+        for i in range(n_h2d):
+            out = device_batch(jax.random.fold_in(key, 1000 + i), raw0)
+            np.asarray(out["lang"]["voltron_tokens"][0, 0, 0])
+        dt_h2d = (time.perf_counter() - t0) / n_h2d
+        h2d_cps = 2 * B / dt_h2d
+        print(f"H2D+preprocess alone: {h2d_cps:.0f} chunks/s "
+              f"({h2d_bytes / dt_h2d / 1e9:.2f} GB/s over this link)",
+              file=sys.stderr)
+
         return {
             "chunks_per_sec": round(cps, 1),
             "steps": n_steps,
             "seconds": round(dt, 1),
             "loader_feed_chunks_per_sec": round(feed_cps, 1),
+            "h2d_chunks_per_sec": round(h2d_cps, 1),
+            "h2d_gbytes_per_sec": round(h2d_bytes / dt_h2d / 1e9, 2),
             "decode_threads": n_workers,
             "host_cores": os.cpu_count(),
             "aug_variants": aug_variants,

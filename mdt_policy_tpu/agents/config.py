@@ -19,6 +19,11 @@ class OptimizerConfig:
     transformer_weight_decay: float = 0.05
     obs_encoder_weight_decay: float = 0.05
 
+    def __post_init__(self):
+        # YAML delivers tuples as lists; configs must stay hashable (they
+        # are static jit constants)
+        object.__setattr__(self, "betas", tuple(self.betas))
+
 
 @dataclasses.dataclass(frozen=True)
 class LRSchedulerConfig:
@@ -28,6 +33,9 @@ class LRSchedulerConfig:
     final_lr_scale: float = 1e-6
     total_steps: int = 50_000
     phase_ratio: Tuple[float, float, float] = (0.02, 0.08, 0.9)
+
+    def __post_init__(self):
+        object.__setattr__(self, "phase_ratio", tuple(self.phase_ratio))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -135,6 +143,18 @@ class MDTVConfig:
     # training
     optimizer: OptimizerConfig = OptimizerConfig()
     lr_scheduler: LRSchedulerConfig = LRSchedulerConfig()
+
+    def __post_init__(self):
+        # agent_overrides from YAML/CLI deliver nested blocks as plain dicts
+        # (e.g. `agent_overrides: {lr_scheduler: {total_steps: 1000}}`);
+        # coerce them so the config stays a hashable static jit constant
+        if isinstance(self.optimizer, dict):
+            object.__setattr__(self, "optimizer",
+                               OptimizerConfig(**self.optimizer))
+        if isinstance(self.lr_scheduler, dict):
+            object.__setattr__(self, "lr_scheduler",
+                               LRSchedulerConfig(**self.lr_scheduler))
+        object.__setattr__(self, "clip_rn_layers", tuple(self.clip_rn_layers))
     # dtype for the FROZEN encoder towers (params + activations). bf16 is the
     # TPU-native analogue of the reference's AMP fp16 (conf/config.yaml:46);
     # trainable modules stay float32.

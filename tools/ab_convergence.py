@@ -139,6 +139,15 @@ def main(argv=None):
         epoch = max(20, args.steps // 4)
         n_epochs = max(1, args.steps // epoch)
 
+        # schedule matched to the A/B's step budget: the production
+        # tri-stage schedule (total_steps=50k, 1k warmup) would leave a
+        # few-hundred-step run entirely inside warmup at a tiny lr —
+        # nothing would separate the recipes
+        overrides = dict(TINY)
+        overrides["optimizer"] = {"learning_rate": 1e-3}
+        overrides["lr_scheduler"] = {"init_lr": 1e-3,
+                                     "total_steps": n_epochs * epoch}
+
         def run(name: str, **data_kw):
             cfg = RunConfig(
                 agent="mdtv", log_dir=str(work / "runs"), run_name=name,
@@ -150,7 +159,7 @@ def main(argv=None):
                     steps_per_epoch=epoch, limit_val_batches=2,
                     seed=args.seed, log_every=20, keep_checkpoints=1,
                     log_recon_images=False),
-                agent_overrides=dict(TINY),
+                agent_overrides=overrides,
             )
             print(f"=== training [{name}] {n_epochs * epoch} steps ===",
                   flush=True)
