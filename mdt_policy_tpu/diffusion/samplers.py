@@ -116,7 +116,11 @@ def sample_ddim(denoise_fn: DenoiseFn, x: jax.Array, sigmas, *, key=None, eta: f
         return x, None
 
     pairs = (jnp.asarray(s[:-1]), jnp.asarray(s[1:]))
-    x, _ = jax.lax.scan(step, x, pairs)
+    # production schedules are short (10 steps): full unroll removes the
+    # while-loop bookkeeping + per-iteration dynamic-slices and lets XLA
+    # schedule across iterations — the closed-loop replan's latency path.
+    # Long schedules keep the rolled loop (compile-size guard).
+    x, _ = jax.lax.scan(step, x, pairs, unroll=len(s) <= 16)
     return x
 
 
