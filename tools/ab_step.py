@@ -80,9 +80,15 @@ def run(overrides: dict) -> None:
     net, state = init_agent(cfg, jax.random.PRNGKey(0), batch["lang"])
     jitted = jax.jit(partial(train_step, net), donate_argnums=(0,))
     key = jax.random.PRNGKey(1)
+    # ONE compile per variant: the AOT executable serves cost_analysis AND
+    # the loops (the remote compile service never dedupes, so a discarded
+    # lower().compile() would double the per-variant one-time cost)
+    t0 = time.perf_counter()
+    compiled = jitted.lower(state, batch, key).compile()
+    compile_s = time.perf_counter() - t0
     flops = None
     try:
-        cost = jitted.lower(state, batch, key).compile().cost_analysis()
+        cost = compiled.cost_analysis()
         cost = cost[0] if isinstance(cost, (list, tuple)) else cost
         flops = float(cost.get("flops")) if cost and cost.get("flops") else None
         if flops:
@@ -92,15 +98,15 @@ def run(overrides: dict) -> None:
     except Exception:
         pass
     t0 = time.perf_counter()
-    state, metrics = jitted(state, batch, key)
+    state, metrics = compiled(state, batch, key)
     np.asarray(state.params["inner"]["tok_emb"]["kernel"][0, 0])
-    print(f"  compile+first: {time.perf_counter()-t0:.0f}s; "
+    print(f"  compile {compile_s:.0f}s + first-run {time.perf_counter()-t0:.0f}s; "
           f"loss={float(np.asarray(metrics["train/total_loss"])):.4f}")
     dts = []
     for rep in range(2):
         t0 = time.perf_counter()
         for i in range(6):
-            state, _ = jitted(state, batch, jax.random.fold_in(key, rep * 6 + i))
+            state, _ = compiled(state, batch, jax.random.fold_in(key, rep * 6 + i))
         np.asarray(state.params["inner"]["tok_emb"]["kernel"][0, 0])
         dts.append((time.perf_counter() - t0) / 6)
     dt = min(dts)
@@ -113,6 +119,11 @@ def run(overrides: dict) -> None:
 def main():
     from mdt_policy_tpu.utils.misc import enable_compile_cache
     enable_compile_cache()
+    prng = os.environ.get("AB_STEP_PRNG")
+    if prng:  # e.g. AB_STEP_PRNG=rbg — price the threefry dropout-bits cost
+        import jax
+        jax.config.update("jax_default_prng_impl", prng)
+        print(f"(prng impl: {prng})")
     for ov in sys.argv[1:] or [""]:
         print(f"== MDTVConfig({ov}) B={B}/modality ==", flush=True)
         run(parse(ov))
