@@ -257,3 +257,59 @@ class TestEpochSemantics:
         union = set(ia.tolist()) | set(ib.tolist())
         assert len(set(ia.tolist()) & set(ib.tolist())) == 0
         assert union == set(range(10))
+
+
+class TestAugVariantGuards:
+    """Error paths of the DrQ-variant embedding cache
+    (data/extract_embeddings.py --aug-variants + CalvinDataset plumbing)."""
+
+    def test_missing_aug_arrays_is_loud(self, calvin_dir, tmp_path):
+        import shutil
+        root = tmp_path / "training"
+        shutil.copytree(calvin_dir, root)
+        ex = root / "extracted"
+        # clean embedding arrays present, aug arrays absent
+        n = 140
+        np.save(ex / "ep_voltron_tokens.npy",
+                np.zeros((n, 8, 16), np.uint16))
+        np.save(ex / "ep_clip_img_emb.npy", np.zeros((n, 4), np.float32))
+        with pytest.raises(FileNotFoundError, match="aug"):
+            make_ds(root, use_extracted_embeddings=True,
+                    embedding_aug_variants=2)
+
+    def test_requesting_more_variants_than_cached(self, calvin_dir, tmp_path):
+        import shutil
+        root = tmp_path / "training"
+        shutil.copytree(calvin_dir, root)
+        ex = root / "extracted"
+        n = 140
+        np.save(ex / "ep_voltron_tokens.npy", np.zeros((n, 8, 16), np.uint16))
+        np.save(ex / "ep_clip_img_emb.npy", np.zeros((n, 4), np.float32))
+        np.save(ex / "ep_voltron_tokens_aug.npy",
+                np.zeros((n, 2, 8, 16), np.uint16))
+        np.save(ex / "ep_clip_img_emb_aug.npy",
+                np.zeros((n, 2, 4), np.float32))
+        with pytest.raises(ValueError, match="variants"):
+            make_ds(root, use_extracted_embeddings=True,
+                    embedding_aug_variants=3)
+        # asking for fewer than cached is fine (uses the first K)
+        ds = make_ds(root, use_extracted_embeddings=True,
+                     embedding_aug_variants=2)
+        assert ds.aug_variants == 2
+
+
+def test_agent_config_nested_dict_coercion():
+    """YAML/CLI agent_overrides deliver nested blocks as dicts; the frozen
+    config coerces them and stays hashable (it is a static jit constant)."""
+    from mdt_policy_tpu.agents.config import (LRSchedulerConfig, MDTVConfig,
+                                              OptimizerConfig)
+
+    c = MDTVConfig(optimizer={"learning_rate": 1e-3, "betas": [0.9, 0.99]},
+                   lr_scheduler={"total_steps": 300},
+                   clip_rn_layers=[3, 4, 6, 3])
+    assert isinstance(c.optimizer, OptimizerConfig)
+    assert c.optimizer.betas == (0.9, 0.99)
+    assert isinstance(c.lr_scheduler, LRSchedulerConfig)
+    assert c.lr_scheduler.total_steps == 300
+    assert c.clip_rn_layers == (3, 4, 6, 3)
+    hash(c)  # must stay usable as a jit static constant
