@@ -129,6 +129,13 @@ class MDTVConfig:
     # (full mode) and 304 -> 238 ms (cache mode) at B=512 (ROUND3_NOTES).
     # "float32" is the bit-parity escape hatch.
     gen_compute_dtype: str = "bfloat16"
+    # computation dtype of the TRAINABLE denoiser's block stacks (master
+    # params + residual stream + norms + sigma/goal/action projections stay
+    # f32; only the per-block GEMMs/attention run reduced). The reference
+    # trains the whole model under AMP fp16 (conf/config.yaml:46), so
+    # "bfloat16" is conservative by comparison; "float32" (default) is the
+    # bit-parity lowering used by the torch-port activation tests.
+    denoiser_compute_dtype: str = "float32"
     # factored perceiver cross-attention: fold W_k into the 24-row query
     # block and re-associate the V side so K/V over the 395-token media
     # never materialize (models/perceiver.py _factored_kv_attention) —

@@ -87,7 +87,10 @@ class MDTAgentNet(nn.Module):
             use_ada_conditioning=c.use_ada_conditioning,
             use_noise_encoder=c.use_noise_encoder,
             use_modality_encoder=c.use_modality_encoder,
-            use_mlp_goal=c.use_mlp_goal, name="inner")
+            use_mlp_goal=c.use_mlp_goal,
+            compute_dtype=(lambda d: None if d == jnp.float32 else d)(
+                jnp.dtype(getattr(c, "denoiser_compute_dtype", "float32"))),
+            name="inner")
         gen_dt = jnp.dtype(getattr(c, "gen_compute_dtype", "float32"))
         self.gen_img = MaskedTransformerImgDecoder(
             resolution=c.gen_img_res, patch_size=c.gen_patch_size,

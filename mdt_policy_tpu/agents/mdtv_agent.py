@@ -132,6 +132,7 @@ class MDTVAgentNet(nn.Module):
             heads=c.clip_text_heads, layers=c.clip_text_layers,
             fused_attention=fused_attn,
             scan_layers=scan_layers, name="language_goal")
+        den_dt = jnp.dtype(getattr(c, "denoiser_compute_dtype", "float32"))
         self.inner = MDTVTransformer(
             obs_dim=c.obs_dim, goal_dim=c.goal_dim, action_dim=c.action_dim,
             proprio_dim=c.proprio_dim, embed_dim=c.embed_dim,
@@ -143,7 +144,9 @@ class MDTVAgentNet(nn.Module):
             use_ada_conditioning=c.use_ada_conditioning,
             use_noise_encoder=c.use_noise_encoder,
             use_modality_encoder=c.use_modality_encoder,
-            use_mlp_goal=c.use_mlp_goal, name="inner")
+            use_mlp_goal=c.use_mlp_goal,
+            compute_dtype=None if den_dt == jnp.float32 else den_dt,
+            name="inner")
         gen_dt = jnp.dtype(getattr(c, "gen_compute_dtype", "float32"))
         self.gen_img = MaskedTransformerImgDecoder(
             resolution=c.gen_img_res, patch_size=c.gen_patch_size,

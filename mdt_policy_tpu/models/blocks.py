@@ -127,6 +127,11 @@ class Attention(nn.Module):
     bias: bool = False
     use_rot_embed: bool = False
     rotary_xpos: bool = False
+    # computation dtype (None = promote normally, the bit-parity default):
+    # params stay f32; GEMMs/attention run in `dtype` and the caller's f32
+    # residual stream re-promotes on the residual add — the TPU-native
+    # analogue of the reference's AMP-16 training (conf/config.yaml:46)
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, context=None, *, deterministic: bool = True,
@@ -134,9 +139,9 @@ class Attention(nn.Module):
         B, T, C = x.shape
         hd = C // self.n_head
         kv_src = x if context is None else context
-        q = _dense(C, name="query")(x)
-        k = _dense(C, name="key")(kv_src)
-        v = _dense(C, name="value")(kv_src)
+        q = _dense(C, name="query", dtype=self.dtype)(x)
+        k = _dense(C, name="key", dtype=self.dtype)(kv_src)
+        v = _dense(C, name="value", dtype=self.dtype)(kv_src)
         q = q.reshape(B, T, self.n_head, hd).transpose(0, 2, 1, 3)
         k = k.reshape(B, -1, self.n_head, hd).transpose(0, 2, 1, 3)
         v = v.reshape(B, -1, self.n_head, hd).transpose(0, 2, 1, 3)
@@ -146,13 +151,15 @@ class Attention(nn.Module):
             rot = RotaryEmbedding(max(self.n_head // 2, 32),
                                   use_xpos=self.rotary_xpos, name="rotary")
             q, k = rot(q, k)
+            if self.dtype is not None:  # rotary tables are f32
+                q, k = q.astype(self.dtype), k.astype(self.dtype)
         drop_active = self.attn_pdrop > 0 and not deterministic
         y = sdpa(q, k, v, causal=self.causal, mask=custom_attn_mask,
                  dropout_rate=self.attn_pdrop,
                  dropout_rng=self.make_rng("dropout") if drop_active else None,
                  deterministic=deterministic)
         y = y.transpose(0, 2, 1, 3).reshape(B, T, C)
-        y = _dense(C, use_bias=self.bias, name="c_proj")(y)
+        y = _dense(C, use_bias=self.bias, name="c_proj", dtype=self.dtype)(y)
         return nn.Dropout(self.resid_pdrop)(y, deterministic=deterministic)
 
 
@@ -161,12 +168,15 @@ class MLP(nn.Module):
     n_embd: int
     bias: bool = False
     dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None  # see Attention.dtype
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
-        x = _dense(4 * self.n_embd, use_bias=self.bias, name="c_fc")(x)
+        x = _dense(4 * self.n_embd, use_bias=self.bias, name="c_fc",
+                   dtype=self.dtype)(x)
         x = jax.nn.gelu(x, approximate=False)
-        x = _dense(self.n_embd, use_bias=self.bias, name="c_proj")(x)
+        x = _dense(self.n_embd, use_bias=self.bias, name="c_proj",
+                   dtype=self.dtype)(x)
         return nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
 
@@ -180,21 +190,25 @@ class Block(nn.Module):
     causal: bool = False
     use_cross_attention: bool = False
     bias: bool = False
+    dtype: Optional[jnp.dtype] = None  # see Attention.dtype
 
     @nn.compact
     def __call__(self, x, context=None, *, deterministic: bool = True,
                  custom_attn_mask=None):
         x = x + Attention(self.n_embd, self.n_heads, self.attn_pdrop, self.resid_pdrop,
-                          causal=self.causal, bias=self.bias, name="attn")(
+                          causal=self.causal, bias=self.bias, dtype=self.dtype,
+                          name="attn")(
             BiaslessLayerNorm(self.bias, name="ln_1")(x),
             deterministic=deterministic, custom_attn_mask=custom_attn_mask)
         if self.use_cross_attention and context is not None:
             # ln3 is a full (biased) LayerNorm in the reference (:205)
             x = x + Attention(self.n_embd, self.n_heads, self.attn_pdrop, self.resid_pdrop,
-                              causal=self.causal, bias=self.bias, name="cross_att")(
+                              causal=self.causal, bias=self.bias, dtype=self.dtype,
+                              name="cross_att")(
                 nn.LayerNorm(name="ln3")(x), context,
                 deterministic=deterministic, custom_attn_mask=custom_attn_mask)
-        x = x + MLP(self.n_embd, self.bias, self.mlp_pdrop, name="mlp")(
+        x = x + MLP(self.n_embd, self.bias, self.mlp_pdrop, dtype=self.dtype,
+                    name="mlp")(
             BiaslessLayerNorm(self.bias, name="ln_2")(x), deterministic=deterministic)
         return x
 
@@ -208,15 +222,18 @@ class CrossAttentionOnlyBlock(nn.Module):
     mlp_pdrop: float = 0.0
     causal: bool = False
     bias: bool = False
+    dtype: Optional[jnp.dtype] = None  # see Attention.dtype
 
     @nn.compact
     def __call__(self, x, context=None, *, deterministic: bool = True,
                  custom_attn_mask=None):
         x = x + Attention(self.n_embd, self.n_heads, self.attn_pdrop, self.resid_pdrop,
-                          causal=self.causal, bias=self.bias, name="cross_att")(
+                          causal=self.causal, bias=self.bias, dtype=self.dtype,
+                          name="cross_att")(
             BiaslessLayerNorm(self.bias, name="ln_1")(x), context,
             deterministic=deterministic, custom_attn_mask=custom_attn_mask)
-        x = x + MLP(self.n_embd, self.bias, self.mlp_pdrop, name="mlp")(
+        x = x + MLP(self.n_embd, self.bias, self.mlp_pdrop, dtype=self.dtype,
+                    name="mlp")(
             BiaslessLayerNorm(self.bias, name="ln_2")(x), deterministic=deterministic)
         return x
 
@@ -252,6 +269,7 @@ class ConditionedBlock(nn.Module):
     use_cross_attention: bool = False
     bias: bool = False
     film_cond_dim: int = 0
+    dtype: Optional[jnp.dtype] = None  # see Attention.dtype
 
     @nn.compact
     def __call__(self, x, c, context=None, *, deterministic: bool = True,
@@ -263,17 +281,19 @@ class ConditionedBlock(nn.Module):
         x_attn = modulate(BiaslessLayerNorm(self.bias, name="ln_1")(x), shift_msa, scale_msa)
         x = x + gate_msa * Attention(self.n_embd, self.n_heads, self.attn_pdrop,
                                      self.resid_pdrop, causal=self.causal, bias=self.bias,
-                                     name="attn")(
+                                     dtype=self.dtype, name="attn")(
             x_attn, deterministic=deterministic, custom_attn_mask=custom_attn_mask)
 
         if self.use_cross_attention and context is not None:
             x = x + Attention(self.n_embd, self.n_heads, self.attn_pdrop, self.resid_pdrop,
-                              causal=self.causal, bias=self.bias, name="cross_att")(
+                              causal=self.causal, bias=self.bias, dtype=self.dtype,
+                              name="cross_att")(
                 nn.LayerNorm(name="ln3")(x), context,
                 deterministic=deterministic, custom_attn_mask=custom_attn_mask)
 
         x_mlp = modulate(BiaslessLayerNorm(self.bias, name="ln_2")(x), shift_mlp, scale_mlp)
-        x = x + gate_mlp * MLP(self.n_embd, self.bias, self.mlp_pdrop, name="mlp")(
+        x = x + gate_mlp * MLP(self.n_embd, self.bias, self.mlp_pdrop,
+                               dtype=self.dtype, name="mlp")(
             x_mlp, deterministic=deterministic)
         return x
 
@@ -288,20 +308,24 @@ class NoiseBlock(nn.Module):
     causal: bool = False
     use_cross_attention: bool = False
     bias: bool = False
+    dtype: Optional[jnp.dtype] = None  # see Attention.dtype
 
     @nn.compact
     def __call__(self, x, c, context=None, *, deterministic: bool = True,
                  custom_attn_mask=None):
         x = x + Attention(self.n_embd, self.n_heads, self.attn_pdrop, self.resid_pdrop,
-                          causal=self.causal, bias=self.bias, name="attn")(
+                          causal=self.causal, bias=self.bias, dtype=self.dtype,
+                          name="attn")(
             BiaslessLayerNorm(self.bias, name="ln_1")(x) + c,
             deterministic=deterministic, custom_attn_mask=custom_attn_mask)
         if self.use_cross_attention and context is not None:
             x = x + Attention(self.n_embd, self.n_heads, self.attn_pdrop, self.resid_pdrop,
-                              causal=self.causal, bias=self.bias, name="cross_att")(
+                              causal=self.causal, bias=self.bias, dtype=self.dtype,
+                              name="cross_att")(
                 nn.LayerNorm(name="ln3")(x) + c, context,
                 deterministic=deterministic, custom_attn_mask=custom_attn_mask)
-        x = x + MLP(self.n_embd, self.bias, self.mlp_pdrop, name="mlp")(
+        x = x + MLP(self.n_embd, self.bias, self.mlp_pdrop, dtype=self.dtype,
+                    name="mlp")(
             BiaslessLayerNorm(self.bias, name="ln_2")(x), deterministic=deterministic)
         return x
 
@@ -315,12 +339,14 @@ class TransformerEncoder(nn.Module):
     resid_pdrop: float = 0.0
     mlp_pdrop: float = 0.0
     bias: bool = False
+    dtype: Optional[jnp.dtype] = None  # see Attention.dtype
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True, custom_attn_mask=None):
         for i in range(self.n_layers):
             x = Block(self.embed_dim, self.n_heads, self.attn_pdrop, self.resid_pdrop,
-                      self.mlp_pdrop, causal=False, bias=self.bias, name=f"block_{i}")(
+                      self.mlp_pdrop, causal=False, bias=self.bias,
+                      dtype=self.dtype, name=f"block_{i}")(
                 x, deterministic=deterministic, custom_attn_mask=custom_attn_mask)
         return BiaslessLayerNorm(self.bias, name="ln")(x)
 
@@ -335,13 +361,14 @@ class TransformerDecoder(nn.Module):
     mlp_pdrop: float = 0.0
     bias: bool = False
     use_cross_attention: bool = True
+    dtype: Optional[jnp.dtype] = None  # see Attention.dtype
 
     @nn.compact
     def __call__(self, x, cond=None, *, deterministic: bool = True, custom_attn_mask=None):
         for i in range(self.n_layers):
             x = Block(self.embed_dim, self.n_heads, self.attn_pdrop, self.resid_pdrop,
                       self.mlp_pdrop, causal=True, use_cross_attention=self.use_cross_attention,
-                      bias=self.bias, name=f"block_{i}")(
+                      bias=self.bias, dtype=self.dtype, name=f"block_{i}")(
                 x, cond, deterministic=deterministic, custom_attn_mask=custom_attn_mask)
         return BiaslessLayerNorm(self.bias, name="ln")(x)
 
@@ -359,6 +386,7 @@ class TransformerFiLMDecoder(nn.Module):
     bias: bool = False
     use_cross_attention: bool = True
     use_noise_encoder: bool = False
+    dtype: Optional[jnp.dtype] = None  # see Attention.dtype
 
     @nn.compact
     def __call__(self, x, c, cond=None, *, deterministic: bool = True, custom_attn_mask=None):
@@ -368,7 +396,8 @@ class TransformerFiLMDecoder(nn.Module):
             x = block_cls(self.embed_dim, self.n_heads, self.attn_pdrop, self.resid_pdrop,
                           self.mlp_pdrop, causal=True,
                           use_cross_attention=self.use_cross_attention,
-                          bias=self.bias, name=f"block_{i}", **kwargs)(
+                          bias=self.bias, dtype=self.dtype,
+                          name=f"block_{i}", **kwargs)(
                 x, c, cond, deterministic=deterministic, custom_attn_mask=custom_attn_mask)
         return BiaslessLayerNorm(self.bias, name="ln")(x)
 

@@ -17,7 +17,7 @@ context is returned explicitly.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -61,6 +61,8 @@ class MDTTransformer(nn.Module):
     use_noise_encoder: bool = False
     use_modality_encoder: bool = True
     use_mlp_goal: bool = True
+    # computation dtype of the block stacks (see MDTVTransformer.compute_dtype)
+    compute_dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         self.tok_emb = _dense(self.embed_dim, name="tok_emb")
@@ -75,18 +77,20 @@ class MDTTransformer(nn.Module):
         self.action_emb = _dense(self.embed_dim, name="action_emb")
         self.encoder = TransformerEncoder(
             self.embed_dim, self.n_heads, self.n_enc_layers,
-            self.attn_pdrop, self.resid_pdrop, self.mlp_pdrop, self.bias, name="encoder")
+            self.attn_pdrop, self.resid_pdrop, self.mlp_pdrop, self.bias,
+            dtype=self.compute_dtype, name="encoder")
         if self.use_ada_conditioning:
             self.decoder = TransformerFiLMDecoder(
                 self.embed_dim, self.n_heads, self.n_dec_layers, self.embed_dim,
                 self.attn_pdrop, self.resid_pdrop, self.mlp_pdrop, self.bias,
                 use_cross_attention=True, use_noise_encoder=self.use_noise_encoder,
-                name="decoder")
+                dtype=self.compute_dtype, name="decoder")
         else:
             self.decoder = TransformerDecoder(
                 self.embed_dim, self.n_heads, self.n_dec_layers,
                 self.attn_pdrop, self.resid_pdrop, self.mlp_pdrop, self.bias,
-                use_cross_attention=True, name="decoder")
+                use_cross_attention=True, dtype=self.compute_dtype,
+                name="decoder")
         if self.linear_output:
             self.action_pred = _dense(self.action_dim, name="action_pred")
         else:

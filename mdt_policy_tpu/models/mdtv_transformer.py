@@ -95,6 +95,12 @@ class MDTVTransformer(nn.Module):
     use_noise_encoder: bool = False
     use_modality_encoder: bool = True
     use_mlp_goal: bool = True
+    # computation dtype of the encoder/decoder block stacks (None = f32
+    # bit-parity default): params stay f32, GEMMs/attention run in `dtype`,
+    # the residual stream re-promotes to f32 on every residual add — the
+    # TPU analogue of the reference's AMP-16 training (conf/config.yaml:46).
+    # Embedding projections / sigma MLP / action head stay f32 (tiny).
+    compute_dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         self.tok_emb = _dense(self.embed_dim, name="tok_emb")
@@ -110,18 +116,20 @@ class MDTVTransformer(nn.Module):
         self.action_emb = _dense(self.embed_dim, name="action_emb")
         self.encoder = TransformerEncoder(
             self.embed_dim, self.n_heads, self.n_enc_layers,
-            self.attn_pdrop, self.resid_pdrop, self.mlp_pdrop, self.bias, name="encoder")
+            self.attn_pdrop, self.resid_pdrop, self.mlp_pdrop, self.bias,
+            dtype=self.compute_dtype, name="encoder")
         if self.use_ada_conditioning:
             self.decoder = TransformerFiLMDecoder(
                 self.embed_dim, self.n_heads, self.n_dec_layers, self.embed_dim,
                 self.attn_pdrop, self.resid_pdrop, self.mlp_pdrop, self.bias,
                 use_cross_attention=True, use_noise_encoder=self.use_noise_encoder,
-                name="decoder")
+                dtype=self.compute_dtype, name="decoder")
         else:
             self.decoder = TransformerDecoder(
                 self.embed_dim, self.n_heads, self.n_dec_layers,
                 self.attn_pdrop, self.resid_pdrop, self.mlp_pdrop, self.bias,
-                use_cross_attention=True, name="decoder")
+                use_cross_attention=True, dtype=self.compute_dtype,
+                name="decoder")
         if self.linear_output:
             self.action_pred = _dense(self.action_dim, name="action_pred")
         else:

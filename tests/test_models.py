@@ -243,3 +243,27 @@ class TestClipStyleProjection:
         params = m.init(KEY, x)
         out = m.apply(params, x)
         assert out.shape == expected
+
+
+def test_denoiser_bf16_compute_matches_f32():
+    """compute_dtype=bfloat16 (the AMP-16-analogue perf option,
+    MDTVConfig.denoiser_compute_dtype): identical param tree to the f32
+    lowering, and outputs agree to bf16 tolerance — params, norms, residual
+    stream and heads stay f32; only the block GEMMs/attention run reduced."""
+    import jax
+
+    m32 = MDTVTransformer(**MDTV_KW)
+    m16 = MDTVTransformer(**MDTV_KW, compute_dtype=jnp.bfloat16)
+    inputs = _mdtv_inputs()
+    p32 = m32.init(KEY, *inputs, train=False)
+    p16 = m16.init(KEY, *inputs, train=False)
+    # value-identical trees: the dtype is a computation detail, never layout
+    assert jax.tree.all(jax.tree.map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)), p32, p16))
+    pred32, ctx32 = m32.apply(p32, *inputs, train=False)
+    pred16, ctx16 = m16.apply(p32, *inputs, train=False)
+    assert pred16.dtype == jnp.float32  # the action head re-promotes
+    np.testing.assert_allclose(np.asarray(pred16), np.asarray(pred32),
+                               rtol=0.1, atol=0.05)
+    np.testing.assert_allclose(np.asarray(ctx16), np.asarray(ctx32),
+                               rtol=0.1, atol=0.05)
