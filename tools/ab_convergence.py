@@ -116,6 +116,10 @@ def main(argv=None):
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--variants", type=int, default=2)
+    ap.add_argument("--bf16-denoiser", action="store_true",
+                    help="add a fourth arm: cache+variants with "
+                         "denoiser_compute_dtype=bfloat16 (the AMP-16-"
+                         "analogue perf option)")
     ap.add_argument("--out", default=None, help="JSON output path")
     ap.add_argument("--keep", default=None,
                     help="keep the workdir at this path (default: tmp, removed)")
@@ -148,7 +152,7 @@ def main(argv=None):
         overrides["lr_scheduler"] = {"init_lr": 1e-3,
                                      "total_steps": n_epochs * epoch}
 
-        def run(name: str, **data_kw):
+        def run(name: str, agent_extra=None, **data_kw):
             cfg = RunConfig(
                 agent="mdtv", log_dir=str(work / "runs"), run_name=name,
                 data=DataConfig(root_data_dir=str(data_root),
@@ -159,7 +163,7 @@ def main(argv=None):
                     steps_per_epoch=epoch, limit_val_batches=2,
                     seed=args.seed, log_every=20, keep_checkpoints=1,
                     log_recon_images=False),
-                agent_overrides=overrides,
+                agent_overrides={**overrides, **(agent_extra or {})},
             )
             print(f"=== training [{name}] {n_epochs * epoch} steps ===",
                   flush=True)
@@ -186,10 +190,17 @@ def main(argv=None):
         # C: cache with K shift variants (round-5 fast path)
         var_dir = run("cache_variants", use_extracted_embeddings=True,
                       embedding_aug_variants=args.variants)
+        arms = [("full", full_dir), ("cache", cache_dir),
+                ("cache+variants", var_dir)]
+        if args.bf16_denoiser:
+            bf16_dir = run(
+                "cache_variants_bf16", use_extracted_embeddings=True,
+                embedding_aug_variants=args.variants,
+                agent_extra={"denoiser_compute_dtype": "bfloat16"})
+            arms.append(("cache+variants+bf16", bf16_dir))
 
         result = {}
-        for name, d in (("full", full_dir), ("cache", cache_dir),
-                        ("cache+variants", var_dir)):
+        for name, d in arms:
             tr, va = read_curves(d)
             result[name] = {"train_action_loss": tr, "val_action_loss": va}
 
