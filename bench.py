@@ -514,13 +514,19 @@ def section_sustained(B: int, *, frames: int = 2500, seconds: float = 30.0,
     frames = int(os.environ.get("MDT_BENCH_SUSTAINED_FRAMES", frames))
     tmp = tempfile.mkdtemp(prefix="mdt_bench_sustained_")
     try:
-        print(f"fabricating {frames}-frame split + embedding cache "
-              f"(K={aug_variants}) ...", file=sys.stderr, flush=True)
-        root = generate_dataset(Path(tmp), frames, with_lang=True)
-        extract_by_key(root)
-        extract_frames(root)
-        fabricate_embedding_cache(root, aug_variants=aug_variants,
-                                  lang_goals=True)
+        real_root = os.environ.get("MDT_BENCH_SUSTAINED_ROOT")
+        if real_root:
+            # a REAL extracted split (extract_frames + extract_embeddings
+            # --aug-variants already run on it): measures production bytes
+            root = Path(real_root)
+        else:
+            print(f"fabricating {frames}-frame split + embedding cache "
+                  f"(K={aug_variants}) ...", file=sys.stderr, flush=True)
+            root = generate_dataset(Path(tmp), frames, with_lang=True)
+            extract_by_key(root)
+            extract_frames(root)
+            fabricate_embedding_cache(root, aug_variants=aug_variants,
+                                      lang_goals=True)
 
         kw = dict(min_window_size=21, max_window_size=50,
                   use_extracted_rel_actions=True, use_extracted_frames=True,
