@@ -66,6 +66,7 @@ def analyze(tmp: str, n_steps: int, wall: float | None = None) -> None:
         space.ParseFromString(f.read())
 
     per_op = defaultdict(float)
+    per_module = defaultdict(float)
     total = 0.0
     for plane in space.planes:
         if "TPU" not in plane.name and "device" not in plane.name.lower():
@@ -73,6 +74,10 @@ def analyze(tmp: str, n_steps: int, wall: float | None = None) -> None:
         if "host" in plane.name.lower():
             continue
         meta = {k: v.name for k, v in plane.event_metadata.items()}
+        # display_name (when populated) carries the HLO op_name metadata —
+        # the jit/module scope path (e.g. "jit(train_step)/net/inner/..."),
+        # which attributes device time per MODULE (tower vs denoiser vs gen)
+        disp = {k: v.display_name for k, v in plane.event_metadata.items()}
         for line in plane.lines:
             # ONLY the serialized op timeline; Async XLA Ops overlap compute
             # and XLA Modules double-counts (see module docstring)
@@ -84,6 +89,16 @@ def analyze(tmp: str, n_steps: int, wall: float | None = None) -> None:
                 base = re.sub(r"[.\d]+$", "", name)
                 per_op[base] += dur
                 total += dur
+                # scope source, in preference order: display_name, or the
+                # op_name= metadata embedded in full-HLO-text event names
+                d = disp.get(ev.metadata_id) or ""
+                if not d:
+                    m_op = re.search(r'op_name="([^"]+)"', name)
+                    d = m_op.group(1) if m_op else ""
+                m = re.search(r"(img_encoder|visual_goal|language_goal|"
+                              r"perceiver|gen_img|clip_proj|inner|"
+                              r"static_resnet|gripper_resnet|adamw?|ema)", d)
+                per_module[m.group(1) if m else "(unattributed)"] += dur
         if total:
             print(f"[plane: {plane.name}]")
             break
@@ -103,6 +118,12 @@ def analyze(tmp: str, n_steps: int, wall: float | None = None) -> None:
     print("== category rollup ==")
     for cat, t in sorted(cats.items(), key=lambda kv: -kv[1]):
         print(f"  {cat:34s} {t/n_steps*1e3:8.1f} ms  {t/total*100:5.1f}%")
+    attributed = sum(t for k, t in per_module.items()
+                     if k != "(unattributed)")
+    if attributed > 0.2 * total:
+        print("\n== module rollup (from HLO op_name scopes) ==")
+        for mod, t in sorted(per_module.items(), key=lambda kv: -kv[1])[:14]:
+            print(f"  {mod:34s} {t/n_steps*1e3:8.1f} ms  {t/total*100:5.1f}%")
     print("\n== top 40 ops ==")
     for op, t in sorted(per_op.items(), key=lambda kv: -kv[1])[:40]:
         print(f"  {op[:90]:90s} {t/n_steps*1e3:8.2f} ms  {t/total*100:5.1f}%")
