@@ -968,6 +968,14 @@ def section_disk(_B: int) -> dict:
 # --------------------------------------------------------------------------
 
 def run_section(name: str, out_path: str, B: int) -> None:
+    # honor JAX_PLATFORMS=cpu at the CONFIG level: the container's
+    # sitecustomize registers the axon plugin with JAX_PLATFORMS=axon baked
+    # in, so the env var alone does not stick (tests/conftest.py has the
+    # same note) — without this, a CPU smoke of a TPU section hangs in the
+    # axon client's dial-retry loop when the tunnel is down
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     from mdt_policy_tpu.utils.misc import enable_compile_cache
     enable_compile_cache()
     fn = {
