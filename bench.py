@@ -59,14 +59,50 @@ SECTIONS = (
 # orchestrator
 # --------------------------------------------------------------------------
 
+def _tpu_preflight(timeout_s: int = 1500) -> bool:
+    """One bounded probe of the TPU backend before any section runs. A DEAD
+    axon tunnel makes every section subprocess hang ~20 min in the client's
+    init-retry loop before raising UNAVAILABLE — five sections of that is
+    ~100 min of driver wall for guaranteed nulls. A healthy tunnel answers
+    jax.devices() + a tiny matmul in seconds (compile-service latency only
+    affects big programs), so a generous timeout cannot misclassify a
+    merely-slow tunnel."""
+    code = ("import jax, jax.numpy as jnp\n"
+            "d = jax.devices()\n"
+            "x = jnp.ones((128, 128))\n"
+            "print('preflight ok:', d[0].platform, float((x @ x).sum()))\n")
+    try:
+        proc = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                              capture_output=True, text=True)
+        ok = proc.returncode == 0
+        if not ok:
+            print(f"[bench] TPU preflight FAILED (rc={proc.returncode}): "
+                  f"{(proc.stderr or '').strip().splitlines()[-1:]}",
+                  file=sys.stderr)
+        return ok
+    except subprocess.TimeoutExpired:
+        print(f"[bench] TPU preflight timed out after {timeout_s}s",
+              file=sys.stderr)
+        return False
+
+
 def orchestrate(B: int) -> None:
     """Run every bench section in its own subprocess, then assemble and
     print the single driver-facing JSON line. The orchestrator itself never
     initializes a JAX backend."""
     results: dict[str, dict] = {}
     t_start = time.perf_counter()
+    tunnel_ok = True
+    if os.environ.get("MDT_BENCH_SKIP_PREFLIGHT") != "1":
+        tunnel_ok = _tpu_preflight(
+            int(os.environ.get("MDT_BENCH_PREFLIGHT_TIMEOUT", "1500")))
+        if not tunnel_ok:
+            print("[bench] tunnel down — running host-only sections; TPU "
+                  "metrics will be null", file=sys.stderr)
     for name, timeout_s in SECTIONS:
         if os.environ.get(f"MDT_BENCH_SKIP_{name.upper()}") == "1":
+            continue
+        if not tunnel_ok and name != "disk":
             continue
         out_path = os.path.join(tempfile.gettempdir(), f"mdt_bench_{name}.json")
         try:
@@ -187,6 +223,10 @@ def orchestrate(B: int) -> None:
                            ("cold_compile_s", "load_run_s", "blob_mb",
                             "serialize_error", "deserialize_error")
                            if aot.get(k) is not None} or None,
+            # false = the bounded preflight probe could not reach the TPU
+            # backend, so every TPU section was skipped (nulls above are a
+            # tunnel outage, not framework failures)
+            "tunnel_preflight_ok": tunnel_ok,
             "wall_time_s": round(time.perf_counter() - t_start, 1),
         },
     }))
