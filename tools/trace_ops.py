@@ -56,6 +56,40 @@ def classify(name: str) -> str:
     return "other"
 
 
+def classify_ev(base: str, hlo_cat: str, flops: float, long_name: str,
+                dur: float = 0.0) -> str:
+    """Classify from the profiler's own per-event stats when present.
+
+    hlo_category catches what name-matching cannot: Pallas kernels lower to
+    custom-calls whose HLO op name is the python callable (`_impl.72`), and
+    TPU fusions that swallow both MLP matmuls keep a `reduce`-flavoured name
+    (`convert_reduce_fusion`) while being ~90%-of-peak MXU work — the
+    round-4 rollup misread 125 ms/step of near-peak CLIP-tower MLPs as
+    "norm stats" and 66 ms/step of fused attention as "other" because of
+    exactly these two traps. model_flops>0 marks the matmul-bearing ones.
+    """
+    c = (hlo_cat or "").lower()
+    n = base.lower()
+    if "custom-call" in c or "custom call" in c:
+        if "ConcatBitcast" in long_name or "concat" in n:
+            return "copy/transpose"
+        return "pallas custom-call"
+    if "convolution" in c or c == "dot" or n.startswith(("convolution", "dot")):
+        return "bare matmul/conv"
+    # matmul-bearing only when the flop DENSITY says the MXU is the point:
+    # many loop fusions carry a handful of flops (scalar scale factors) that
+    # would otherwise misfile 90 ms of elementwise work as MXU work
+    if dur > 0 and flops / dur > 20e12:
+        return "matmul-bearing fusion (MXU)"
+    if n.startswith(("copy", "transpose", "bitcast")) or "copy" in c:
+        return "copy/transpose"
+    if "reduce" in n:
+        return "reduce fusion (norm stats etc)"
+    if "fusion" in c or n.startswith("fusion"):
+        return "fusion (elementwise)"
+    return classify(base)
+
+
 def analyze(tmp: str, n_steps: int, wall: float | None = None) -> None:
     files = glob.glob(os.path.join(tmp, "**", "*.xplane.pb"), recursive=True)
     assert files, f"no xplane.pb under {tmp}"
@@ -66,6 +100,9 @@ def analyze(tmp: str, n_steps: int, wall: float | None = None) -> None:
         space.ParseFromString(f.read())
 
     per_op = defaultdict(float)
+    per_op_flops = defaultdict(float)
+    per_cat_time = defaultdict(float)
+    per_cat_flops = defaultdict(float)
     per_module = defaultdict(float)
     total = 0.0
     for plane in space.planes:
@@ -73,31 +110,50 @@ def analyze(tmp: str, n_steps: int, wall: float | None = None) -> None:
             continue
         if "host" in plane.name.lower():
             continue
-        meta = {k: v.name for k, v in plane.event_metadata.items()}
-        # display_name (when populated) carries the HLO op_name metadata —
-        # the jit/module scope path (e.g. "jit(train_step)/net/inner/..."),
-        # which attributes device time per MODULE (tower vs denoiser vs gen)
-        disp = {k: v.display_name for k, v in plane.event_metadata.items()}
+        stat_names = {k: v.name for k, v in plane.stat_metadata.items()}
+        # per-op stats live on the event METADATA (hlo_category = the
+        # compiler's own op class, model_flops, tf_op = the jit scope path
+        # "jit(train_step)/net/visual_goal/..." for module attribution);
+        # per-EVENT stats carry only timing. Cache the decode per metadata id.
+        md_info = {}
+        for k, v in plane.event_metadata.items():
+            hlo_cat, flops, tf_op = "", 0.0, ""
+            for st in v.stats:
+                sn = stat_names.get(st.metadata_id, "")
+                if sn == "hlo_category":
+                    hlo_cat = st.str_value
+                elif sn == "model_flops":
+                    flops = float(st.int64_value or st.uint64_value or 0)
+                elif sn == "tf_op":
+                    tf_op = st.str_value
+            name = v.name or str(k)
+            base = re.sub(r"[.\d]+$", "", name.split(" =", 1)[0])
+            md_info[k] = (name, base, hlo_cat, flops, tf_op)
         for line in plane.lines:
             # ONLY the serialized op timeline; Async XLA Ops overlap compute
             # and XLA Modules double-counts (see module docstring)
             if line.name != "XLA Ops":
                 continue
             for ev in line.events:
-                name = meta.get(ev.metadata_id, str(ev.metadata_id))
+                name, base, hlo_cat, flops, tf_op = md_info.get(
+                    ev.metadata_id, (str(ev.metadata_id), str(ev.metadata_id),
+                                     "", 0.0, ""))
                 dur = ev.duration_ps / 1e12
-                base = re.sub(r"[.\d]+$", "", name)
+                # category is per EVENT (uses this instance's flop density),
+                # not per deduped name: the same fusion family (e.g.
+                # multiply_reduce_fusion) appears both as a dot+reduce
+                # kOutput fusion and as pure elementwise instances — caching
+                # per name misfiles one side
+                cat = classify_ev(base, hlo_cat, flops, name, dur)
+                per_cat_time[cat] += dur
+                per_cat_flops[cat] += flops
                 per_op[base] += dur
                 total += dur
-                # scope source, in preference order: display_name, or the
-                # op_name= metadata embedded in full-HLO-text event names
-                d = disp.get(ev.metadata_id) or ""
-                if not d:
-                    m_op = re.search(r'op_name="([^"]+)"', name)
-                    d = m_op.group(1) if m_op else ""
+                per_op_flops[base] += flops
                 m = re.search(r"(img_encoder|visual_goal|language_goal|"
                               r"perceiver|gen_img|clip_proj|inner|"
-                              r"static_resnet|gripper_resnet|adamw?|ema)", d)
+                              r"static_resnet|gripper_resnet|adamw?|ema)",
+                              tf_op)
                 per_module[m.group(1) if m else "(unattributed)"] += dur
         if total:
             print(f"[plane: {plane.name}]")
@@ -112,12 +168,11 @@ def analyze(tmp: str, n_steps: int, wall: float | None = None) -> None:
     per_step = total / n_steps
     print(f"\ndevice op time: {per_step*1e3:.0f} ms/step"
           + (f" (wall {wall*1e3:.0f} ms)" if wall else "") + "\n")
-    cats = defaultdict(float)
-    for op, t in per_op.items():
-        cats[classify(op)] += t
-    print("== category rollup ==")
-    for cat, t in sorted(cats.items(), key=lambda kv: -kv[1]):
-        print(f"  {cat:34s} {t/n_steps*1e3:8.1f} ms  {t/total*100:5.1f}%")
+    print("== category rollup (hlo_category + model_flops) ==")
+    for cat, t in sorted(per_cat_time.items(), key=lambda kv: -kv[1]):
+        tput = per_cat_flops[cat] / t / 1e12 if t else 0.0
+        print(f"  {cat:38s} {t/n_steps*1e3:8.1f} ms  {t/total*100:5.1f}%"
+              + (f"   {tput:6.1f} TF/s" if per_cat_flops[cat] else ""))
     attributed = sum(t for k, t in per_module.items()
                      if k != "(unattributed)")
     if attributed > 0.2 * total:
