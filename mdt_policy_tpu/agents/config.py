@@ -189,6 +189,13 @@ class MDTVConfig:
     # tower blocks). Default off (the unrolled layout is the checkpoint/
     # port layout; step-time impact measured via tools/ab_step.py).
     scan_tower_layers: bool = False
+    # Flatten the Voltron tower's norm/MLP segment to 2-D tokens (3-D only
+    # around attention). Targets a measured TPU layout trap: the 3-D mlp_out
+    # dot fuses with the next block's RMSNorm stats into a batch-minor
+    # ({0,2,1}) output (~2.11 vs ~1.2 ms ideal per layer at B=1024) plus
+    # layout-fix copies before the attention custom-call. Same math, same
+    # param tree (models/voltron_vit.py VoltronBlock.two_d).
+    voltron_blocks_2d: bool = False
 
 
 # Config fields of MEASURED-AND-REJECTED experiments, retired from the

@@ -112,7 +112,9 @@ class MDTVAgentNet(nn.Module):
             patch_size=c.vit_patch, embed_dim=c.perceiver_dim, depth=c.vit_depth,
             n_heads=c.vit_heads, img_size=c.img_size,
             fused_attention=fused_attn,
-            scan_layers=scan_layers, name="img_encoder")
+            scan_layers=scan_layers,
+            blocks_2d=bool(getattr(c, "voltron_blocks_2d", False)),
+            name="img_encoder")
         # remat: the perceiver's K/V activations over the 392-token voltron
         # grid dominate backward memory at production batch; recompute-in-
         # backward trades a cheap re-forward for ~GBs of residuals

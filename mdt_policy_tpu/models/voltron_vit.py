@@ -140,6 +140,14 @@ class VoltronBlock(nn.Module):
     # bf16 via bf16-CAST params; trainable consumers (gen decoder) keep f32
     # master params and set dtype=bf16 to compute in bf16.
     dtype: Optional[jnp.dtype] = None
+    # flatten (B,T,C)->(B*T,C) for the norm/MLP segment, 3-D only around
+    # attention. On TPU the 3-D mlp_out dot gets fused with the NEXT block's
+    # RMSNorm stats into a kOutput fusion whose output layout is BATCH-MINOR
+    # ({0,2,1}) — measured ~2.11 ms vs ~1.2 ms ideal per layer at the
+    # production batch, plus layout-fix copies before the attention
+    # custom-call. 2-D operands leave layout assignment only row-major-ish
+    # choices. Pure reshapes: identical math, identical param tree.
+    two_d: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -152,9 +160,15 @@ class VoltronBlock(nn.Module):
             norm = (lambda n: RMSNorm(name=n, dtype=self.dtype)) \
                 if self.do_rms_norm else \
                    (lambda n: nn.LayerNorm(epsilon=1e-6, name=n, dtype=self.dtype))
-        attn_out = _ViTAttention(self.dim, self.n_heads,
+        B, T, C = x.shape
+        two_d = self.two_d
+        if two_d:
+            x = x.reshape(B * T, C)
+        to3 = (lambda v: v.reshape(B, T, C)) if two_d else (lambda v: v)
+        to2 = (lambda v: v.reshape(B * T, C)) if two_d else (lambda v: v)
+        attn_out = to2(_ViTAttention(self.dim, self.n_heads,
                          fused_kernel=self.fused_kernel, dtype=self.dtype,
-                         name="attn")(norm("norm1")(x))
+                         name="attn")(to3(norm("norm1")(x))))
         if self.do_layer_scale:
             attn_out = LayerScale(self.dim, name="ls1", dtype=self.dtype)(attn_out)
         x = x + attn_out
@@ -168,7 +182,7 @@ class VoltronBlock(nn.Module):
         mlp_out = nn.Dense(self.dim, name="mlp_out", dtype=self.dtype)(h)
         if self.do_layer_scale:
             mlp_out = LayerScale(self.dim, name="ls2", dtype=self.dtype)(mlp_out)
-        return x + mlp_out
+        return to3(x + mlp_out)
 
 
 class _VoltronScanShim(nn.Module):
@@ -179,11 +193,13 @@ class _VoltronScanShim(nn.Module):
     n_heads: int
     mlp_ratio: float
     fused_kernel: bool
+    two_d: bool = False
 
     @nn.compact
     def __call__(self, x, _):
         y = VoltronBlock(self.dim, self.n_heads, self.mlp_ratio,
-                         fused_kernel=self.fused_kernel, name="block")(x)
+                         fused_kernel=self.fused_kernel, two_d=self.two_d,
+                         name="block")(x)
         return y, None
 
 
@@ -205,6 +221,7 @@ class VoltronViT(nn.Module):
     fused_attention: bool = False
     mxu_norm: bool = False
     scan_layers: bool = False
+    blocks_2d: bool = False  # see VoltronBlock.two_d
 
     @nn.compact
     def __call__(self, images: jax.Array) -> jax.Array:
@@ -222,12 +239,14 @@ class VoltronViT(nn.Module):
                            split_rngs={"params": True},
                            length=self.depth)
             x, _ = scan(self.embed_dim, self.n_heads, self.mlp_ratio,
-                        fused_kernel=self.fused_attention, name="blocks")(x, None)
+                        fused_kernel=self.fused_attention,
+                        two_d=self.blocks_2d, name="blocks")(x, None)
         else:
             for i in range(self.depth):
                 x = VoltronBlock(self.embed_dim, self.n_heads, self.mlp_ratio,
                                  fused_kernel=self.fused_attention,
                                  mxu_norm=self.mxu_norm,
+                                 two_d=self.blocks_2d,
                                  name=f"block_{i}")(x)
         if self.mxu_norm:
             from mdt_policy_tpu.ops.mxu_norm import MXULayerNorm

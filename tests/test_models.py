@@ -267,3 +267,25 @@ def test_denoiser_bf16_compute_matches_f32():
                                rtol=0.1, atol=0.05)
     np.testing.assert_allclose(np.asarray(ctx16), np.asarray(ctx32),
                                rtol=0.1, atol=0.05)
+
+
+def test_voltron_blocks_2d_parity():
+    """voltron_blocks_2d (MDTVConfig flag) flattens the tower's norm/MLP
+    segment to 2-D tokens for TPU layout assignment: pure reshapes, so the
+    param tree and outputs must be IDENTICAL (bit-exact) to the 3-D path,
+    for both the unrolled and the lax.scan block stacks."""
+    import jax
+    from mdt_policy_tpu.models.voltron_vit import VoltronViT
+
+    x = jnp.asarray(np.random.default_rng(0).uniform(size=(2, 64, 64, 3)),
+                    jnp.float32)
+    kw = dict(patch_size=16, embed_dim=64, depth=2, n_heads=2, img_size=64)
+    for scan in (False, True):
+        m3 = VoltronViT(**kw, blocks_2d=False, scan_layers=scan)
+        m2 = VoltronViT(**kw, blocks_2d=True, scan_layers=scan)
+        p = m3.init(jax.random.PRNGKey(0), x)
+        assert (jax.tree_util.tree_structure(p)
+                == jax.tree_util.tree_structure(
+                    m2.init(jax.random.PRNGKey(0), x)))
+        np.testing.assert_array_equal(np.asarray(m3.apply(p, x)),
+                                      np.asarray(m2.apply(p, x)))
