@@ -761,9 +761,15 @@ def section_denoiser(B: int = 512) -> dict:
     np.asarray(params["tok_emb"]["kernel"])
     compile_s = time.perf_counter() - t0
     n = 20
+    # keys precomputed OUTSIDE the timed loop: each fold_in is its own tiny
+    # device program whose dispatch rides the tunnel — on a ~18 ms step that
+    # per-iteration round trip read as an 11 ms/step "regression" on a slow
+    # tunnel day (r5 denoiser variance)
+    keys = [jax.random.fold_in(key, i) for i in range(n)]
+    jax.block_until_ready(keys)
     t0 = time.perf_counter()
     for i in range(n):
-        params, opt_state, _ = jitted(params, opt_state, jax.random.fold_in(key, i))
+        params, opt_state, _ = jitted(params, opt_state, keys[i])
     np.asarray(params["tok_emb"]["kernel"])
     cps = B / ((time.perf_counter() - t0) / n)
     print(f"denoiser-only train step: {cps:.0f} chunks/s", file=sys.stderr)
@@ -900,18 +906,25 @@ def section_aot(_B: int) -> dict:
         os.unlink(child_out)
     except OSError:
         pass
+    # The child must target the parent's PLATFORM (the PJRT plugin alias,
+    # e.g. "axon" for the tunnel), NOT default_backend(): the axon plugin
+    # reports default_backend()=="tpu", and pinning the child to "tpu" makes
+    # it try to init a LOCAL TPU ("No jellyfish device found") instead of
+    # dialing the tunnel. jax.config.jax_platforms carries the alias the
+    # parent actually initialized with ("axon", or "cpu" when forced).
+    backend = getattr(jax.config, "jax_platforms", None) \
+        or jax.default_backend()
     code = (
         "import jax\n"
-        # the child must target the PARENT's backend (sitecustomize
-        # pre-imports jax, so pin at the config level, not just env)
+        # sitecustomize pre-imports jax, so pin at the config level too
         "jax.config.update('jax_platforms', {backend!r})\n"
         "import sys; sys.path.insert(0, {here!r})\n"
         "import bench; bench._aot_child({blob!r}, {out!r})\n"
-    ).format(backend=jax.default_backend(),
+    ).format(backend=backend,
              here=os.path.dirname(os.path.abspath(__file__)),
              blob=blob_path, out=child_out)
     env = dict(os.environ)
-    env["JAX_PLATFORMS"] = jax.default_backend()
+    env["JAX_PLATFORMS"] = backend
     proc = subprocess.run([sys.executable, "-c", code], timeout=600, env=env)
     if os.path.exists(child_out):
         with open(child_out) as f:
