@@ -100,6 +100,14 @@ class TrainerConfig:
     # <run_dir>/media (+ wandb.Image when active) — the reference's store_img
     # validation branch (mdt/models/mdt_agent.py:398-417)
     log_recon_images: bool = True
+    # Serialized-executable cache dir for the train-step program (opt-in;
+    # None = off). On backends whose compile service costs minutes per fresh
+    # process (and ignores the persistent XLA cache), a warm restart
+    # deserializes the step executable in ~19 s instead of recompiling
+    # 140-560 s (measured, docs/BENCHMARKING.md). Any stale/foreign blob
+    # falls back to a normal compile. Relative paths resolve under the run
+    # dir; "auto" uses <run_dir>/aot_cache.
+    aot_step_cache: Optional[str] = None
 
 
 class TrainingDivergedError(RuntimeError):
@@ -553,6 +561,23 @@ def train(cfg: RunConfig):
     jitted_val = jax.jit(partial(validation_step, net))
     from mdt_policy_tpu.agents.mdtv_agent import reconstruction_forward
     jitted_recon = jax.jit(partial(reconstruction_forward, net))
+    if cfg.trainer.aot_step_cache:
+        # eager AOT compile of the step program with a serialized-executable
+        # cache: a preemption restart skips the compile service (see
+        # utils/aot_cache.py). The example args pin the avals/shardings
+        # every loop iteration reuses (batch from the prefetcher has the
+        # device_batch spec; the key is a fold_in of the same base key).
+        from mdt_policy_tpu.utils.aot_cache import compile_with_cache
+        aot_dir = Path(cfg.trainer.aot_step_cache)
+        if str(aot_dir) == "auto":
+            aot_dir = run_dir / "aot_cache"
+        elif not aot_dir.is_absolute():
+            aot_dir = run_dir / aot_dir
+        jitted_step, _aot_status = compile_with_cache(
+            jitted_step, (state, batch, jax.random.fold_in(k_step_base, 0)),
+            aot_dir, tag="train_step",
+            extra_key=repr((agent_cfg, cfg.trainer.batch_size, n_use)))
+        logger.info("aot_step_cache: %s (%s)", _aot_status, aot_dir)
 
     # 3-stage pipeline: loader threads decode ahead, the prefetcher thread
     # shards+preprocesses on device ahead, the main thread only steps —

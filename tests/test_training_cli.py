@@ -190,3 +190,50 @@ def test_load_config_overrides(tmp_path):
     assert cfg.data.min_window_size == 22
     # YAML 1.1 sexagesimal footgun: "50:60" must stay a range string, not 3060
     assert cfg.trainer.profile_steps == "50:60"
+
+
+def test_aot_step_cache_roundtrip(tmp_path, caplog):
+    """trainer.aot_step_cache: the first run compiles the step and saves a
+    serialized executable; a FRESH run (new run dir, same cache dir) loads
+    it instead of compiling (utils/aot_cache.py — the warm-restart lever:
+    deserialize ~19 s vs 140-560 s remote compile, docs/BENCHMARKING.md).
+    A stale/foreign blob must fall back to a normal compile."""
+    import logging
+
+    cache_dir = tmp_path / "blobs"
+
+    def run(name):
+        cfg = RunConfig(
+            agent="mdtv", log_dir=str(tmp_path), run_name=name,
+            data=DataConfig(root_data_dir=None, synthetic_static_hw=32,
+                            synthetic_gripper_hw=32),
+            trainer=TrainerConfig(batch_size=2, max_epochs=1,
+                                  steps_per_epoch=2, limit_val_batches=1,
+                                  seed=0, log_every=2, keep_checkpoints=0,
+                                  log_recon_images=False,
+                                  aot_step_cache=str(cache_dir)),
+            agent_overrides=TINY_OVERRIDES,
+        )
+        with caplog.at_level(logging.INFO, logger="mdt_policy_tpu"):
+            caplog.clear()
+            state = train(cfg)
+        statuses = [r.message for r in caplog.records
+                    if "aot_step_cache:" in r.message]
+        assert statuses, "train() did not report the aot cache status"
+        return state, statuses[-1]
+
+    state1, s1 = run("aot_a")
+    assert int(state1.step) == 2
+    assert "miss" in s1
+    blobs = list(cache_dir.glob("train_step-*.jaxexe"))
+    assert len(blobs) == 1
+
+    state2, s2 = run("aot_b")
+    assert int(state2.step) == 2
+    assert "hit" in s2
+
+    # corrupt the blob: the next run must recompile, not crash
+    blobs[0].write_bytes(b"not an executable")
+    state3, s3 = run("aot_c")
+    assert int(state3.step) == 2
+    assert "miss" in s3
